@@ -1,0 +1,256 @@
+"""One typed config tree for the whole framework.
+
+The reference splits configuration between `config.json` (single-object
+pipeline + converters; /root/reference/config.json) and Python class
+constants (detector + joint pipeline; models_detection/KerasYOLO.py:37-63,
+models_tracking/MultiObjDetTracker.py:82-116) — an asymmetry its own README
+flags. Here a single dataclass tree covers both pipelines and is
+JSON-round-trippable, including the ability to load the reference's legacy
+config.json layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+# Anchor priors (grid-cell units) — YOLOv2 COCO anchors
+# (reference: models_detection/KerasYOLO.py:45)
+YOLOV2_ANCHORS: Tuple[float, ...] = (
+    0.57273, 0.677385, 1.87446, 2.06253, 3.33843,
+    5.47434, 7.88282, 3.52778, 9.77052, 9.16828,
+)
+
+# Label sets (reference: KerasYOLO.py:20-37, MultiObjDetTracker.py:70-80)
+LABELS_COCO: Tuple[str, ...] = (
+    'person', 'bicycle', 'car', 'motorcycle', 'airplane', 'bus',
+    'train', 'truck', 'boat', 'traffic light', 'fire hydrant', 'stop sign',
+    'parking meter', 'bench', 'bird', 'cat', 'dog', 'horse',
+    'sheep', 'cow', 'elephant', 'bear', 'zebra', 'giraffe',
+    'backpack', 'umbrella', 'handbag', 'tie', 'suitcase', 'frisbee',
+    'skis', 'snowboard', 'sports ball', 'kite', 'baseball bat',
+    'baseball glove', 'skateboard', 'surfboard', 'tennis racket', 'bottle',
+    'wine glass', 'cup', 'fork', 'knife', 'spoon', 'bowl', 'banana',
+    'apple', 'sandwich', 'orange', 'broccoli', 'carrot', 'hot dog',
+    'pizza', 'donut', 'cake', 'chair', 'couch', 'potted plant', 'bed',
+    'dining table', 'toilet', 'tv', 'laptop', 'mouse', 'remote',
+    'keyboard', 'cell phone', 'microwave', 'oven', 'toaster', 'sink',
+    'refrigerator', 'book', 'clock', 'vase', 'scissors', 'teddy bear',
+    'hair drier', 'toothbrush',
+)
+
+LABELS_MOT17: Tuple[str, ...] = tuple(str(i) for i in range(1, 13))
+
+LABELS_IMAGENET_VID: Tuple[str, ...] = (
+    'n02691156', 'n02419796', 'n02131653', 'n02834778', 'n01503061',
+    'n02924116', 'n02958343', 'n02402425', 'n02084071', 'n02121808',
+    'n02503517', 'n02118333', 'n02510455', 'n02342885', 'n02374451',
+    'n02129165', 'n01674464', 'n02484322', 'n03790512', 'n02324045',
+    'n02509815', 'n02411705', 'n01726692', 'n02355227', 'n02129604',
+    'n04468005', 'n01662784', 'n04530566', 'n02062744', 'n02391049',
+)
+
+# Human-readable maps (reference: MultiObjDetTracker.py:20-66)
+MOT17_LABEL_MAP: Dict[str, str] = {
+    '1': 'Pedestrian', '2': 'Person on vehicle', '3': 'Car', '4': 'Bicycle',
+    '5': 'Motorbike', '6': 'Non motorized vehicle', '7': 'Static person',
+    '8': 'Distractor', '9': 'Occluder', '10': 'Occluder on the ground',
+    '11': 'Occluder full', '12': 'Reflection',
+}
+
+IMAGENET_VID_LABEL_MAP: Dict[str, str] = {
+    'n02691156': 'airplane', 'n02419796': 'antelope', 'n02131653': 'bear',
+    'n02834778': 'bicycle', 'n01503061': 'bird', 'n02924116': 'bus',
+    'n02958343': 'car', 'n02402425': 'cattle', 'n02084071': 'dog',
+    'n02121808': 'domestic cat', 'n02503517': 'elephant',
+    'n02118333': 'fox', 'n02510455': 'giant panda', 'n02342885': 'hamster',
+    'n02374451': 'horse', 'n02129165': 'lion', 'n01674464': 'lizard',
+    'n02484322': 'monkey', 'n03790512': 'motorcycle', 'n02324045': 'rabbit',
+    'n02509815': 'red panda', 'n02411705': 'sheep', 'n01726692': 'snake',
+    'n02355227': 'squirrel', 'n02129604': 'tiger', 'n04468005': 'train',
+    'n01662784': 'turtle', 'n04530566': 'watercraft', 'n02062744': 'whale',
+    'n02391049': 'zebra',
+}
+
+
+@dataclass
+class DetectorConfig:
+    """YOLOv2 detector (reference: KerasYOLO.py class constants)."""
+    labels: Tuple[str, ...] = LABELS_COCO
+    image_h: int = 416
+    image_w: int = 416
+    grid_h: int = 13
+    grid_w: int = 13
+    num_anchors: int = 5
+    anchors: Tuple[float, ...] = YOLOV2_ANCHORS
+    obj_threshold: float = 0.5    # KerasYOLO.py:43
+    nms_threshold: float = 0.45   # KerasYOLO.py:44
+    weights_path: Optional[str] = None  # darknet yolov2.weights (KerasYOLO.py:59)
+    # Feature layer whose activations the single-object trackers consume.
+    # The reference exposes darknet layer 25 (config.json:9); our detector
+    # exposes named taps — 'conv_feat' is the Layer-22 activation the joint
+    # model consumes (KerasYOLO.py:396).
+    feature_layer: str = 'conv_feat'
+    batch_size: int = 32          # KerasYOLO.py:52
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.labels)
+
+
+@dataclass
+class LossConfig:
+    """YOLOv2 loss scales (reference: KerasYOLO.py:47-54)."""
+    no_object_scale: float = 1.0
+    object_scale: float = 5.0
+    coord_scale: float = 1.0
+    class_scale: float = 1.0
+    warm_up_batches: int = 0      # KerasYOLO.py:53
+    true_box_buffer: int = 50     # KerasYOLO.py:54
+    best_iou_threshold: float = 0.6  # KerasYOLO.py:179
+
+
+@dataclass
+class TrackerConfig:
+    """Single-object tracker (reference: config.json 'model_tracker')."""
+    name: str = 'TinyTracker'     # or 'TinyHeatmapTracker'
+    lstm_units: int = 512
+    sequence_length: int = 4
+    heatmap_size: int = 32
+    pool: str = 'Global'          # 'Global' or 'Max' (config.json:33)
+
+
+@dataclass
+class JointConfig:
+    """Joint detect+track model (reference: MultiObjDetTracker.py:82-116)."""
+    labels: Tuple[str, ...] = LABELS_MOT17
+    batch_size: int = 1
+    sequence_length: int = 4
+    convlstm_features: int = 512  # MultiObjDetTracker.py:176
+    loss_weight_track: float = 0.7   # MultiObjDetTracker.py:278
+    loss_weight_detect: float = 0.3
+
+
+@dataclass
+class TrainConfig:
+    """Training hyperparams + callback stack (reference: BaseTracker.py:71-112,
+    MultiObjDetTracker.py:247-288, config.json 'train')."""
+    train_image_folder: str = 'data/VisualTB/'
+    train_annot_folder: str = 'data/VisualTBAnn/train/'
+    val_image_folder: str = 'data/VisualTB/'
+    val_annot_folder: str = 'data/VisualTBAnn/val/'
+    batch_size: int = 4
+    max_epochs: int = 100
+    learning_rate: float = 1e-3          # TinyTracker.py:40 (Adam)
+    joint_learning_rate: float = 1e-4    # MultiObjDetTracker.py:274
+    early_stop_patience: int = 10        # BaseTracker.py:82-86
+    reduce_lr_factor: float = 0.5        # BaseTracker.py:88-94
+    reduce_lr_patience: int = 5
+    min_lr: float = 1e-5                 # MultiObjDetTracker.py:266
+    tensorboard_dir: str = 'logs/'
+    saved_model_dir: str = 'models/'
+    classes: Tuple[str, ...] = ('Person', 'Car')   # config.json:39
+    debug: bool = False                  # config.json:41 — dump aug images
+    seed: int = 0
+    max_boxes_per_image: int = 50
+    resume: bool = False                 # MultiObjDetTracker.py:104 LOAD_MODEL
+    checkpoint_dir: str = 'checkpoints/'
+    augment: bool = True
+    log_every_steps: int = 1
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh parallelism (no reference analogue — the reference pins
+    two processes to two GPUs by env var, BaseTracker.py:40-48; here we use
+    one jax.sharding.Mesh with named axes over ICI)."""
+    data_axis: str = 'data'
+    model_axis: str = 'model'
+    # -1 means "all remaining devices"
+    data_parallel: int = -1
+    model_parallel: int = 1
+
+
+@dataclass
+class Config:
+    detector: DetectorConfig = field(default_factory=DetectorConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    joint: JointConfig = field(default_factory=JointConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> 'Config':
+        def build(dc_cls, sub):
+            kwargs = {}
+            for f in dataclasses.fields(dc_cls):
+                if f.name in sub:
+                    v = sub[f.name]
+                    if isinstance(v, list):
+                        v = tuple(v)
+                    kwargs[f.name] = v
+            return dc_cls(**kwargs)
+
+        return cls(
+            detector=build(DetectorConfig, d.get('detector', {})),
+            loss=build(LossConfig, d.get('loss', {})),
+            tracker=build(TrackerConfig, d.get('tracker', {})),
+            joint=build(JointConfig, d.get('joint', {})),
+            train=build(TrainConfig, d.get('train', {})),
+            mesh=build(MeshConfig, d.get('mesh', {})),
+        )
+
+    @classmethod
+    def from_legacy_json(cls, d: Dict[str, Any]) -> 'Config':
+        """Load the reference's config.json layout
+        (/root/reference/config.json — 'model_detector' / 'model_tracker' /
+        'train' / 'val' blocks)."""
+        cfg = cls()
+        md = d.get('model_detector', {})
+        if 'nms' in md:
+            cfg.detector.nms_threshold = float(md['nms'])
+        if 'thresh' in md:
+            cfg.detector.obj_threshold = float(md['thresh'])
+        if 'weights_file' in md:
+            cfg.detector.weights_path = md['weights_file']
+        mt = d.get('model_tracker', {})
+        for src, dst in [('name', 'name'), ('lstm_units', 'lstm_units'),
+                         ('sequence_length', 'sequence_length'),
+                         ('heatmap_size', 'heatmap_size')]:
+            if src in mt:
+                setattr(cfg.tracker, dst, mt[src])
+        tr = d.get('train', {})
+        for src, dst in [('train_image_folder', 'train_image_folder'),
+                         ('train_annot_folder', 'train_annot_folder'),
+                         ('batch_size', 'batch_size'),
+                         ('max_epochs', 'max_epochs'),
+                         ('tensorboard_dir', 'tensorboard_dir'),
+                         ('saved_model_dir', 'saved_model_dir')]:
+            if src in tr:
+                setattr(cfg.train, dst, tr[src])
+        if 'pool' in tr:
+            cfg.tracker.pool = tr['pool']
+        if 'classes' in tr:
+            cfg.train.classes = tuple(tr['classes'])
+        if 'debug' in tr:
+            cfg.train.debug = bool(tr['debug'])
+        va = d.get('val', {})
+        if 'val_image_folder' in va:
+            cfg.train.val_image_folder = va['val_image_folder']
+        if 'val_annot_folder' in va:
+            cfg.train.val_annot_folder = va['val_annot_folder']
+        return cfg
+
+
+def load_config(path: str) -> Config:
+    with open(path) as f:
+        d = json.load(f)
+    if 'model_detector' in d or 'model_tracker' in d:
+        return Config.from_legacy_json(d)
+    return Config.from_dict(d)

@@ -1,0 +1,121 @@
+"""YOLOv2 training-target encoding as a jittable fixed-shape op.
+
+Replaces the per-object Python loop of the reference generator
+(/root/reference/utility/preprocessing.py:214-293
+`BatchGenerator.output_from_instance`):
+
+- per object: grid-cell center/size in cell units (preprocessing.py:228-240),
+- best anchor by IoU of the (0, 0, w, h)-shifted box (:244-259),
+- write y[grid_y, grid_x, anchor] = [box, 1, one-hot]    (:262-264),
+- append the box to a rolling TRUE_BOX_BUFFER slot       (:267-270).
+
+Objects arrive as padded fixed-size arrays (boxes (M, 4) corner-format in
+pixels, class ids (M,), validity mask (M,)). The write loop is a
+`lax.fori_loop` so the reference's *last-object-wins* overwrite semantics
+on cell/anchor collisions are preserved exactly; the true-box slot counter
+advances only for accepted objects and wraps at the buffer size, as in the
+reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from object_tracking_tpu.ops.boxes import iou_center
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('image_h', 'image_w', 'grid_h', 'grid_w',
+                     'num_classes', 'true_box_buffer'))
+def encode_targets(boxes_xyxy: jnp.ndarray,
+                   class_ids: jnp.ndarray,
+                   valid: jnp.ndarray,
+                   anchors: jnp.ndarray,
+                   *,
+                   image_h: int = 416, image_w: int = 416,
+                   grid_h: int = 13, grid_w: int = 13,
+                   num_classes: int = 80,
+                   true_box_buffer: int = 50
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Encode one frame's objects into YOLO targets.
+
+    Args:
+      boxes_xyxy: (M, 4) corner-format pixel boxes (xmin, ymin, xmax, ymax).
+      class_ids: (M,) int class indices.
+      valid: (M,) bool — padding mask (also encodes label filtering).
+      anchors: flat (2A,) or (A, 2) anchor priors in grid-cell units.
+
+    Returns:
+      y: (grid_h, grid_w, A, 4+1+C) — cell-unit box, objectness, one-hot.
+      b: (1, 1, 1, true_box_buffer, 4) rolling true-box buffer
+         (cell-unit center-format), reference's side input
+         (preprocessing.py:216, 267-270).
+    """
+    anchors = jnp.asarray(anchors, jnp.float32).reshape(-1, 2)
+    num_anchors = anchors.shape[0]
+    m = boxes_xyxy.shape[0]
+
+    cell_w = float(image_w) / grid_w
+    cell_h = float(image_h) / grid_h
+
+    bx = boxes_xyxy.astype(jnp.float32)
+    center_x = 0.5 * (bx[:, 0] + bx[:, 2]) / cell_w
+    center_y = 0.5 * (bx[:, 1] + bx[:, 3]) / cell_h
+    size_w = (bx[:, 2] - bx[:, 0]) / cell_w
+    size_h = (bx[:, 3] - bx[:, 1]) / cell_h
+
+    grid_x = jnp.floor(center_x).astype(jnp.int32)
+    grid_y = jnp.floor(center_y).astype(jnp.int32)
+
+    # Acceptance: non-degenerate box, in-grid center, valid label
+    # (preprocessing.py:227, 236).
+    ok = (valid
+          & (bx[:, 2] > bx[:, 0]) & (bx[:, 3] > bx[:, 1])
+          & (grid_x < grid_w) & (grid_y < grid_h)
+          & (grid_x >= 0) & (grid_y >= 0)
+          & (class_ids >= 0) & (class_ids < num_classes))
+
+    # Best anchor by IoU of the origin-shifted box (preprocessing.py:244-259).
+    shifted = jnp.stack([jnp.zeros_like(size_w), jnp.zeros_like(size_h),
+                         size_w, size_h], axis=-1)                 # (M, 4)
+    anchor_boxes = jnp.concatenate(
+        [jnp.zeros((num_anchors, 2), jnp.float32), anchors], axis=-1)
+    ious = iou_center(shifted[:, None, :], anchor_boxes[None, :, :])
+    best_anchor = jnp.argmax(ious, axis=-1).astype(jnp.int32)       # (M,)
+
+    cell_box = jnp.stack([center_x, center_y, size_w, size_h], axis=-1)
+    one_hot = jax.nn.one_hot(class_ids, num_classes, dtype=jnp.float32)
+    y_rows = jnp.concatenate(
+        [cell_box, jnp.ones((m, 1), jnp.float32), one_hot], axis=-1)
+
+    y0 = jnp.zeros((grid_h, grid_w, num_anchors, 4 + 1 + num_classes),
+                   jnp.float32)
+    b0 = jnp.zeros((true_box_buffer, 4), jnp.float32)
+
+    def body(i, carry):
+        y, b, tbi = carry
+        gy = jnp.clip(grid_y[i], 0, grid_h - 1)
+        gx = jnp.clip(grid_x[i], 0, grid_w - 1)
+        new_y = y.at[gy, gx, best_anchor[i]].set(y_rows[i])
+        new_b = b.at[tbi % true_box_buffer].set(cell_box[i])
+        accept = ok[i]
+        y = jnp.where(accept, new_y, y)
+        b = jnp.where(accept, new_b, b)
+        tbi = tbi + accept.astype(jnp.int32)
+        return y, b, tbi
+
+    y, b, _ = jax.lax.fori_loop(
+        0, m, body, (y0, b0, jnp.int32(0)))
+    return y, b.reshape(1, 1, 1, true_box_buffer, 4)
+
+
+def encode_targets_batch(boxes_xyxy, class_ids, valid, anchors, **kw):
+    """vmap over a leading batch (or batch·time) axis."""
+    fn = functools.partial(encode_targets, anchors=anchors, **kw)
+    return jax.vmap(lambda b, c, v: fn(b, c, v))(boxes_xyxy, class_ids,
+                                                 valid)
