@@ -1,0 +1,11 @@
+"""Model zoo: YOLOv2 detector, single-object trackers, joint detect+track."""
+
+from object_tracking_tpu.models.darknet19 import Darknet19  # noqa: F401
+from object_tracking_tpu.models.losses import (  # noqa: F401
+    yolo_loss, binary_crossentropy, heatmap_accuracy,
+)
+from object_tracking_tpu.models.tiny_tracker import TinyTracker  # noqa: F401
+from object_tracking_tpu.models.multi_obj_det_tracker import (  # noqa: F401
+    MultiObjDetTracker,
+)
+from object_tracking_tpu.models.yolov2 import YOLOv2Detector  # noqa: F401

@@ -1,0 +1,56 @@
+"""Single-object trackers: TinyTracker (bbox head) and its heatmap variant.
+
+Re-designs models_tracking/TinyTracker.py:25-41 and
+TinyHeatmapTracker.py:26-48 as one flax module:
+
+- per-frame pooling of the frozen detector's feature volume
+  ('Global' max-pool or 4x4 max-pool + flatten, per config `pool`,
+  TinyTracker.py:29-33);
+- concat with the per-frame detection input (bbox vector or flattened
+  heatmap, TinyTracker.py:34);
+- LSTM(512, return_sequences) — here `jax.lax.scan` over an LSTM cell via
+  nn.RNN, O(1) memory in sequence length instead of a fixed
+  TimeDistributed unroll (TinyTracker.py:36);
+- per-step Dense(out_dim) with sigmoid (TinyTracker.py:37).
+
+`out_dim=4` gives TinyTracker; `out_dim=heatmap_size**2` gives
+TinyHeatmapTracker — the only architectural difference in the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class TinyTracker(nn.Module):
+    lstm_units: int = 512
+    out_dim: int = 4          # 4 → bbox head; hmap² → heatmap head
+    pool: str = 'Global'      # 'Global' | 'Max' (config.json:33)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, det: jnp.ndarray):
+        """feats (B, T, H, W, C) detector features; det (B, T, D) detection
+        input → (B, T, out_dim) sigmoid outputs."""
+        b, t = feats.shape[:2]
+        x = feats.astype(self.dtype)
+        if self.pool == 'Max':
+            # 4x4/4 max-pool then flatten (TinyTracker.py:29-31).
+            x = x.reshape((b * t,) + x.shape[2:])
+            x = nn.max_pool(x, (4, 4), strides=(4, 4))
+            x = x.reshape(b, t, -1)
+        elif self.pool == 'Global':
+            x = jnp.max(x, axis=(2, 3))  # global max over H, W
+        else:
+            raise ValueError(f'unknown pool mode {self.pool!r}')
+
+        x = jnp.concatenate([x, det.astype(self.dtype)], axis=-1)
+
+        cell = nn.OptimizedLSTMCell(self.lstm_units, dtype=self.dtype)
+        x = nn.RNN(cell, name='recurrent_layer')(x)
+
+        y = nn.Dense(self.out_dim, dtype=self.dtype, name='output')(x)
+        return nn.sigmoid(y).astype(jnp.float32)

@@ -1,0 +1,169 @@
+"""Model shape/jit/weight-ingestion tests."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from object_tracking_tpu.config import DetectorConfig
+from object_tracking_tpu.models import (
+    Darknet19, MultiObjDetTracker, TinyTracker,
+)
+from object_tracking_tpu.models.darknet19 import space_to_depth_2x
+from object_tracking_tpu.models.yolov2 import YOLOv2Detector, rerandomize_head
+from object_tracking_tpu.ops.weights import (
+    DARKNET19_CONV_PLAN, DARKNET19_IN_CHANNELS, load_yolov2_weights,
+)
+
+
+def test_space_to_depth_matches_tf_order():
+    x = jnp.arange(2 * 4 * 4 * 3).reshape(2, 4, 4, 3).astype(jnp.float32)
+    y = space_to_depth_2x(x)
+    assert y.shape == (2, 2, 2, 12)
+    # tf.space_to_depth: out[b, i, j] = [in[b,2i,2j], in[b,2i,2j+1],
+    #                                    in[b,2i+1,2j], in[b,2i+1,2j+1]]
+    np.testing.assert_allclose(
+        np.asarray(y[0, 0, 0]),
+        np.concatenate([np.asarray(x[0, 0, 0]), np.asarray(x[0, 0, 1]),
+                        np.asarray(x[0, 1, 0]), np.asarray(x[0, 1, 1])]))
+
+
+@pytest.fixture(scope='module')
+def small_darknet():
+    m = Darknet19(num_classes=3)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    return m, v
+
+
+def test_darknet_shapes(small_darknet):
+    m, v = small_darknet
+    out = m.apply(v, jnp.zeros((2, 64, 64, 3)), train=False)
+    assert out['netout'].shape == (2, 2, 2, 5, 8)
+    assert out['conv_feat'].shape == (2, 2, 2, 1024)
+
+
+def test_darknet_train_mode_mutates_batch_stats(small_darknet):
+    m, v = small_darknet
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    out, updates = m.apply(v, x, train=True, mutable=['batch_stats'])
+    before = v['batch_stats']['norm_1']['mean']
+    after = updates['batch_stats']['norm_1']['mean']
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_darknet_jit_deterministic(small_darknet):
+    m, v = small_darknet
+    f = jax.jit(lambda x: m.apply(v, x, train=False)['netout'])
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    np.testing.assert_allclose(np.asarray(f(x)), np.asarray(f(x)))
+
+
+def make_fake_weights_file(num_classes=3, num_anchors=5, with_head=True):
+    """Synthesize a darknet-format .weights stream with deterministic
+    values so ingestion order can be asserted."""
+    chunks = [np.zeros(4, np.float32)]  # header
+    rng = np.random.RandomState(7)
+    for (name, cout, k), cin in zip(DARKNET19_CONV_PLAN,
+                                    DARKNET19_IN_CHANNELS):
+        for _ in range(4):  # beta, gamma, mean, var
+            chunks.append(rng.randn(cout).astype(np.float32))
+        chunks.append(rng.randn(cout * cin * k * k).astype(np.float32))
+    if with_head:
+        head = num_anchors * (5 + num_classes)
+        chunks.append(rng.randn(head).astype(np.float32))
+        chunks.append(rng.randn(head * 1024).astype(np.float32))
+    fd, path = tempfile.mkstemp(suffix='.weights')
+    with os.fdopen(fd, 'wb') as f:
+        np.concatenate(chunks).tofile(f)
+    return path
+
+
+def test_weight_loader_roundtrip():
+    path = make_fake_weights_file()
+    try:
+        loaded = load_yolov2_weights(path, num_classes=3)
+        assert loaded['params']['conv_1']['kernel'].shape == (3, 3, 3, 32)
+        assert loaded['params']['conv_22']['kernel'].shape == (3, 3, 1280,
+                                                               1024)
+        assert loaded['params']['conv_23']['kernel'].shape == (1, 1, 1024,
+                                                               40)
+        assert loaded['params']['conv_23']['bias'].shape == (40,)
+        assert loaded['batch_stats']['norm_1']['mean'].shape == (32,)
+        # file order per conv is beta, gamma, mean, var
+        raw = np.fromfile(path, np.float32)
+        np.testing.assert_allclose(loaded['params']['norm_1']['bias'],
+                                   raw[4:36])       # beta
+        np.testing.assert_allclose(loaded['params']['norm_1']['scale'],
+                                   raw[36:68])      # gamma
+    finally:
+        os.unlink(path)
+
+
+def test_detector_ingests_fake_weights():
+    path = make_fake_weights_file()
+    try:
+        cfg = DetectorConfig(labels=('a', 'b', 'c'), image_h=64,
+                             image_w=64, weights_path=path)
+        det = YOLOv2Detector(cfg)
+        loaded = load_yolov2_weights(path, 3)
+        np.testing.assert_allclose(
+            np.asarray(det.variables['params']['conv_1']['kernel']),
+            loaded['params']['conv_1']['kernel'])
+        out = det.forward(jnp.zeros((1, 64, 64, 3)))
+        assert out['netout'].shape == (1, 2, 2, 5, 8)
+        assert det.get_layer_dims('conv_feat') == (2, 2, 1024)
+    finally:
+        os.unlink(path)
+
+
+def test_rerandomize_head(small_darknet):
+    m, v = small_darknet
+    v2 = rerandomize_head(v, jax.random.PRNGKey(0), 13, 13)
+    old = np.asarray(v['params']['conv_23']['kernel'])
+    new = np.asarray(v2['params']['conv_23']['kernel'])
+    assert not np.allclose(old, new)
+    assert np.abs(new).std() < np.abs(old).std() * 10
+    # everything else untouched
+    np.testing.assert_allclose(
+        np.asarray(v2['params']['conv_1']['kernel']),
+        np.asarray(v['params']['conv_1']['kernel']))
+
+
+def test_tiny_tracker_shapes_and_pools():
+    for pool, feat_hw in [('Global', (13, 13)), ('Max', (8, 8))]:
+        m = TinyTracker(lstm_units=32, out_dim=4, pool=pool)
+        feats = jnp.zeros((2, 4) + feat_hw + (16,))
+        det = jnp.zeros((2, 4, 4))
+        v = m.init(jax.random.PRNGKey(0), feats, det)
+        y = m.apply(v, feats, det)
+        assert y.shape == (2, 4, 4)
+        assert ((np.asarray(y) >= 0) & (np.asarray(y) <= 1)).all()
+
+
+def test_tiny_tracker_heatmap_head():
+    m = TinyTracker(lstm_units=32, out_dim=32 * 32)
+    feats = jnp.zeros((1, 4, 13, 13, 16))
+    det = jnp.zeros((1, 4, 32 * 32))
+    v = m.init(jax.random.PRNGKey(0), feats, det)
+    assert m.apply(v, feats, det).shape == (1, 4, 32 * 32)
+
+
+def test_joint_model_shapes_and_grad():
+    m = MultiObjDetTracker(num_classes=3, convlstm_features=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 64, 64, 3)) * 0.1
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x, train=False)
+    assert out['track'].shape == (1, 2, 2, 2, 5, 8)
+    assert out['detect'].shape == (1, 2, 2, 2, 5, 8)
+
+    def loss_fn(params):
+        o = m.apply({'params': params,
+                     'batch_stats': v['batch_stats']}, x, train=False)
+        return jnp.sum(o['track'] ** 2) + jnp.sum(o['detect'] ** 2)
+
+    g = jax.grad(loss_fn)(v['params'])
+    total = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
+    assert np.isfinite(total) and total > 0
