@@ -1,0 +1,145 @@
+"""Headline benchmark: joint detect+track frames/sec/chip at 416x416.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md), so the denominator is
+measured here, on the same chip, by executing the reference's *execution
+model*: per-frame model calls (TimeDistributed-style, no cross-frame
+batching of the conv stack), netout pulled to host, and the reference's
+host-side Python decode+greedy-NMS loop (utility/utils.py:208-257
+semantics). The numerator is the TPU-native path: one jitted program for
+the whole clip (time folded into batch for the convs, lax.scan ConvLSTM)
+with on-device decode+NMS, bfloat16 activations.
+
+Both paths run the same MultiObjDetTracker architecture (MOT17 12-class,
+ConvLSTM-512) at the reference's production config: 416x416, T=4
+(MultiObjDetTracker.py:83,101).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _host_decode_reference_style(netout, anchors, obj_thresh=0.5,
+                                 nms_thresh=0.45):
+    """The reference's host decode loop (utils.py:208-257): numpy
+    sigmoid/softmax per cell, box build, greedy per-class NMS."""
+    gh, gw, na = netout.shape[:3]
+    nc = netout.shape[-1] - 5
+
+    def sigmoid(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    def softmax(x):
+        e = np.exp(x - x.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True)
+
+    conf = sigmoid(netout[..., 4])
+    probs = conf[..., None] * softmax(netout[..., 5:])
+    probs[probs <= obj_thresh] = 0.0
+
+    boxes = []
+    for row in range(gh):
+        for col in range(gw):
+            for a in range(na):
+                cls = probs[row, col, a]
+                if cls.sum() <= 0:
+                    continue
+                tx, ty, tw, th = netout[row, col, a, :4]
+                x = (col + sigmoid(tx)) / gw
+                y = (row + sigmoid(ty)) / gh
+                w = anchors[a, 0] * np.exp(tw) / gw
+                h = anchors[a, 1] * np.exp(th) / gh
+                boxes.append([x, y, w, h, cls.copy()])
+
+    def iou(b1, b2):
+        def ov(lo1, hi1, lo2, hi2):
+            return max(0.0, min(hi1, hi2) - max(lo1, lo2))
+        iw = ov(b1[0] - b1[2] / 2, b1[0] + b1[2] / 2,
+                b2[0] - b2[2] / 2, b2[0] + b2[2] / 2)
+        ih = ov(b1[1] - b1[3] / 2, b1[1] + b1[3] / 2,
+                b2[1] - b2[3] / 2, b2[1] + b2[3] / 2)
+        inter = iw * ih
+        union = b1[2] * b1[3] + b2[2] * b2[3] - inter
+        return inter / union if union > 0 else 0.0
+
+    for c in range(nc):
+        order = sorted(range(len(boxes)), key=lambda i: -boxes[i][4][c])
+        for i, bi in enumerate(order):
+            if boxes[bi][4][c] == 0:
+                continue
+            for bj in order[i + 1:]:
+                if iou(boxes[bi], boxes[bj]) >= nms_thresh:
+                    boxes[bj][4][c] = 0.0
+    return [b for b in boxes if b[4].max() > obj_thresh]
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from object_tracking_tpu.config import YOLOV2_ANCHORS
+    from object_tracking_tpu.models import MultiObjDetTracker
+    from object_tracking_tpu.ops.decode import decode_and_nms
+
+    t = 4
+    num_classes = 12
+    anchors = np.asarray(YOLOV2_ANCHORS, np.float32).reshape(5, 2)
+    rng = np.random.RandomState(0)
+    clip = rng.rand(1, t, 416, 416, 3).astype(np.float32)
+
+    # ---------------- TPU-native path ---------------------------------
+    model = MultiObjDetTracker(num_classes=num_classes, num_anchors=5,
+                               convlstm_features=512,
+                               dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, t, 416, 416, 3)))
+
+    @jax.jit
+    def native_step(variables, images):
+        out = model.apply(variables, images, train=False)
+        track = out['track'][0]                      # (T, GH, GW, A, 5+C)
+        return jax.vmap(lambda n: decode_and_nms(
+            n, jnp.asarray(YOLOV2_ANCHORS)))(track)
+
+    res = native_step(variables, clip)               # compile
+    jax.block_until_ready(res)
+    iters = 20
+    start = time.perf_counter()
+    for _ in range(iters):
+        res = native_step(variables, clip)
+    jax.block_until_ready(res)
+    native_fps = iters * t / (time.perf_counter() - start)
+
+    # ---------------- reference-style path ----------------------------
+    # Per-frame forward (B=1, no cross-frame conv batching), host pull,
+    # Python decode+NMS — the reference's execution model on this chip.
+    @jax.jit
+    def frame_forward(variables, frame):
+        return model.apply(variables, frame, train=False)['track']
+
+    one = clip[:, :1]
+    netout_host = np.asarray(frame_forward(variables, one))  # compile
+    ref_iters = 3
+    start = time.perf_counter()
+    for _ in range(ref_iters):
+        for f in range(t):
+            netout = np.asarray(
+                frame_forward(variables, clip[:, f:f + 1]))[0, 0]
+            _host_decode_reference_style(netout, anchors)
+    ref_fps = ref_iters * t / (time.perf_counter() - start)
+
+    print(json.dumps({
+        'metric': 'joint_detect_track_fps_per_chip_416',
+        'value': round(native_fps, 2),
+        'unit': 'frames/sec',
+        'vs_baseline': round(native_fps / ref_fps, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -160,6 +160,24 @@ class YOLOv2Detector:
             return gh, gw, cfg.num_anchors * (5 + cfg.num_classes)
         raise KeyError(layer)
 
+    def forward_batch(self, images: np.ndarray, layer: str = 'conv_feat',
+                      top_k: int = 16):
+        """Batched prior-source surface for the tracker data pipeline:
+        images (N, H, W, 3) in [0, 1] →
+        (feats (N, fh, fw, fc), boxes (N, K, 4) center-format normalized,
+        labels (N, K), scores (N, K), valid (N, K)).
+
+        One jitted program for the whole chunk — the vectorized
+        replacement for the reference's per-frame darknet call from
+        inside the generator (preprocessing.py:418)."""
+        cfg = self.config
+        out = self.forward(jnp.asarray(images, jnp.float32))
+        dec = jax.vmap(lambda n: decode_and_nms(
+            n, jnp.asarray(cfg.anchors), obj_threshold=cfg.obj_threshold,
+            nms_threshold=cfg.nms_threshold, top_k=top_k))(out['netout'])
+        boxes, labels, scores, valid = dec
+        return out[layer], boxes, labels, scores, valid
+
     def extract_spatio_info(self, file_path: str, layer: str = 'conv_feat',
                             class_filter: Optional[Sequence[str]] = None):
         """Detections + feature volume in one forward — the frozen-detector

@@ -1,0 +1,18 @@
+"""Parallelism layer: one `jax.sharding.Mesh` for everything.
+
+The reference's entire multi-device story is pinning two processes to two
+GPUs via env vars (/root/reference/models_tracking/BaseTracker.py:40-48,
+models_detection/YOLO.py:130-131, FasterRCNN.py:52-57). The TPU-native
+equivalent is a named device mesh with pjit-partitioned programs: batch
+sharded over the `data` axis, params replicated (or sharded over `model`),
+gradients psum-reduced over ICI — plus a context-parallel scan for long
+clips (SURVEY.md §5 'long-context').
+"""
+
+from object_tracking_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, data_sharding, replicated_sharding, shard_batch,
+    local_batch_size,
+)
+from object_tracking_tpu.parallel.context import (  # noqa: F401
+    context_parallel_scan,
+)

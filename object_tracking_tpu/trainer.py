@@ -1,0 +1,360 @@
+"""Entry points + real CLI.
+
+Preserves the reference's three public flows
+(/root/reference/trainer.py:8-30) under their original names —
+`single_object_tracking`, `simult_multi_obj_detection_tracking`,
+`keras_yolo_obj_detection` — but selected by argparse subcommands instead
+of editing `__main__` (trainer.py:39-40, no argparse in the reference).
+
+    python -m object_tracking_tpu.trainer joint --synthetic --epochs 2
+    python -m object_tracking_tpu.trainer single --config config.json
+    python -m object_tracking_tpu.trainer detect --image in.jpg --out out.jpg
+
+Every flow: builds the mesh, wires generators → steps → fit loop with the
+checkpoint/early-stop/plateau/TB stack (BaseTracker.py:71-112 semantics),
+and supports `--synthetic` for a hermetic end-to-end run on fabricated
+data (no reference analogue — it has no runnable demo path at all).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+
+def _common_setup(cfg, workdir: Optional[str] = None):
+    """mkdir logs/models (reference trainer.py:34-37), mesh, shard fn."""
+    from object_tracking_tpu.parallel import make_mesh, shard_batch
+    base = workdir or '.'
+    logs = os.path.join(base, cfg.train.tensorboard_dir)
+    models = os.path.join(base, cfg.train.saved_model_dir)
+    os.makedirs(logs, exist_ok=True)
+    os.makedirs(models, exist_ok=True)
+    mesh = make_mesh(cfg.mesh)
+    return logs, models, mesh, (lambda b: shard_batch(mesh, b))
+
+
+def _make_callback_stack(cfg, logs: str, ckpt_dir: str, joint: bool):
+    from object_tracking_tpu.training import (
+        CheckpointManager, EarlyStopping, MetricLogger, ReduceLROnPlateau)
+    from object_tracking_tpu.training.metrics import numbered_run_dir
+    logger = MetricLogger(numbered_run_dir(logs))
+    ckpts = CheckpointManager(ckpt_dir)
+    early = EarlyStopping(patience=cfg.train.early_stop_patience)
+    # Joint pipeline uses patience 2 + min_lr (MultiObjDetTracker.py:261-266)
+    reduce_lr = ReduceLROnPlateau(
+        factor=cfg.train.reduce_lr_factor,
+        patience=2 if joint else cfg.train.reduce_lr_patience,
+        min_lr=cfg.train.min_lr)
+    return logger, ckpts, early, reduce_lr
+
+
+def _synthetic_dirs(cfg, image_size, labels, frames=12, videos=2):
+    from object_tracking_tpu.data.synthetic import make_synthetic_dataset
+    root = tempfile.mkdtemp(prefix='ott_synth_')
+    img_dir, ann_dir = make_synthetic_dataset(
+        root, num_videos=videos, frames_per_video=frames,
+        image_size=image_size, labels=labels)
+    cfg.train.train_image_folder = img_dir
+    cfg.train.train_annot_folder = ann_dir
+    cfg.train.val_image_folder = img_dir
+    cfg.train.val_annot_folder = ann_dir
+    return cfg
+
+
+# --------------------------------------------------------------------------
+# Flow 1: single-object tracking (reference trainer.py:8-16)
+# --------------------------------------------------------------------------
+def single_object_tracking(cfg, *, synthetic: bool = False,
+                           epochs: Optional[int] = None,
+                           workdir: Optional[str] = None,
+                           detector=None):
+    import jax
+    import jax.numpy as jnp
+
+    from object_tracking_tpu.data import (
+        TrackerSequenceBatches, make_sequence_windows, parse_annotation_dir)
+    from object_tracking_tpu.models import FakeDetector, TinyTracker
+    from object_tracking_tpu.training import (
+        TrainState, fit, make_optimizer, make_tiny_eval_step,
+        make_tiny_train_step)
+
+    heatmap = cfg.tracker.name == 'TinyHeatmapTracker'
+    labels = cfg.train.classes
+    if synthetic:
+        labels = ('1',)
+        cfg = _synthetic_dirs(cfg, (128, 128), labels)
+    logs, models_dir, mesh, shard_fn = _common_setup(cfg, workdir)
+
+    # Frozen prior source: the TPU YOLOv2 (replacing darknet ctypes /
+    # pycaffe, BaseTracker.py:53-60) or a deterministic fake.
+    if detector is None:
+        if synthetic or not cfg.detector.weights_path:
+            detector = FakeDetector(feat_shape=(4, 4, 32))
+        else:
+            from object_tracking_tpu.models import YOLOv2Detector
+            detector = YOLOv2Detector(cfg.detector)
+
+    def build(split_img, split_ann):
+        anns, seen = parse_annotation_dir(split_ann, split_img, labels)
+        wins = make_sequence_windows(anns, cfg.tracker.sequence_length)
+        return TrackerSequenceBatches(
+            wins, labels, detector,
+            net_h=cfg.detector.image_h, net_w=cfg.detector.image_w,
+            batch_size=cfg.train.batch_size,
+            target_mode='heatmap' if heatmap else 'bbox',
+            heatmap_size=cfg.tracker.heatmap_size,
+            tracked_classes=labels, augment=cfg.train.augment,
+            seed=cfg.train.seed)
+
+    train_gen = build(cfg.train.train_image_folder,
+                      cfg.train.train_annot_folder)
+    val_gen = build(cfg.train.val_image_folder,
+                    cfg.train.val_annot_folder)
+
+    out_dim = cfg.tracker.heatmap_size ** 2 if heatmap else 4
+    model = TinyTracker(lstm_units=cfg.tracker.lstm_units,
+                        out_dim=out_dim, pool=cfg.tracker.pool)
+    fh, fw, fc = detector.get_layer_dims(cfg.detector.feature_layer)
+    t = cfg.tracker.sequence_length
+    variables = model.init(
+        jax.random.PRNGKey(cfg.train.seed),
+        jnp.zeros((1, t, fh, fw, fc)), jnp.zeros((1, t, out_dim)))
+    state = TrainState.create(
+        model.apply, variables, make_optimizer(cfg.train.learning_rate))
+
+    logger, ckpts, early, reduce_lr = _make_callback_stack(
+        cfg, logs, os.path.join(models_dir, 'tiny_tracker'), joint=False)
+    if cfg.train.resume:
+        state, at = ckpts.restore(state)
+        if at:
+            print(f'resumed from checkpoint step {at}')
+    state = fit(state, make_tiny_train_step(heatmap),
+                train_gen, eval_step=make_tiny_eval_step(heatmap),
+                val_batches=val_gen,
+                epochs=epochs or cfg.train.max_epochs,
+                shard_fn=shard_fn, logger=logger, checkpoints=ckpts,
+                early_stopping=early, reduce_lr=reduce_lr,
+                log_every_steps=cfg.train.log_every_steps)
+    logger.close()
+    ckpts.close()
+    return state
+
+
+# --------------------------------------------------------------------------
+# Flow 2: joint multi-object detect+track (reference trainer.py:18-20)
+# --------------------------------------------------------------------------
+def simult_multi_obj_detection_tracking(cfg, *, synthetic: bool = False,
+                                        epochs: Optional[int] = None,
+                                        workdir: Optional[str] = None,
+                                        image_size: Optional[int] = None):
+    import jax
+    import jax.numpy as jnp
+
+    from object_tracking_tpu.data import (
+        SequenceBatches, make_sequence_windows, parse_annotation_dir)
+    from object_tracking_tpu.models import MultiObjDetTracker
+    from object_tracking_tpu.models.yolov2 import rerandomize_head
+    from object_tracking_tpu.training import (
+        TrainState, fit, make_joint_eval_step, make_joint_train_step,
+        make_optimizer)
+
+    labels = cfg.joint.labels
+    size = image_size or cfg.detector.image_h
+    gh, gw = size // 32, size // 32
+    if synthetic:
+        labels = ('1', '2')
+        cfg = _synthetic_dirs(cfg, (size, size), labels)
+    logs, models_dir, mesh, shard_fn = _common_setup(cfg, workdir)
+
+    def build(split_img, split_ann, augment):
+        anns, _ = parse_annotation_dir(split_ann, split_img, labels)
+        wins = make_sequence_windows(anns, cfg.joint.sequence_length)
+        return SequenceBatches(
+            wins, labels, net_h=size, net_w=size, grid_h=gh, grid_w=gw,
+            anchors=cfg.detector.anchors,
+            batch_size=cfg.joint.batch_size,
+            max_boxes=cfg.train.max_boxes_per_image, augment=augment,
+            seed=cfg.train.seed,
+            debug_dir=('data/debug' if cfg.train.debug else None))
+
+    train_gen = build(cfg.train.train_image_folder,
+                      cfg.train.train_annot_folder, cfg.train.augment)
+    val_gen = build(cfg.train.val_image_folder,
+                    cfg.train.val_annot_folder, False)
+
+    model = MultiObjDetTracker(
+        num_classes=len(labels), num_anchors=cfg.detector.num_anchors,
+        convlstm_features=cfg.joint.convlstm_features)
+    t = cfg.joint.sequence_length
+    variables = model.init(
+        jax.random.PRNGKey(cfg.train.seed),
+        jnp.zeros((1, t, size, size, 3)))
+    if cfg.detector.weights_path:
+        # darknet backbone init + last-conv re-randomization
+        # (MultiObjDetTracker.py:221-228)
+        from object_tracking_tpu.models import YOLOv2Detector
+        det = YOLOv2Detector(cfg.detector)
+        params = dict(variables['params'])
+        det_params = dict(params['detector'])
+        for name, leaf in det.variables['params'].items():
+            if name in det_params:
+                det_params[name] = leaf
+        params['detector'] = det_params
+        stats = dict(variables['batch_stats'])
+        stats['detector'] = det.variables['batch_stats']
+        variables = {'params': params, 'batch_stats': stats}
+        variables = rerandomize_head(
+            variables, jax.random.PRNGKey(cfg.train.seed + 1), gh, gw)
+
+    state = TrainState.create(
+        model.apply, variables,
+        make_optimizer(cfg.train.joint_learning_rate))
+
+    logger, ckpts, early, reduce_lr = _make_callback_stack(
+        cfg, logs, os.path.join(models_dir, 'multi_obj'), joint=True)
+    if cfg.train.resume:
+        state, at = ckpts.restore(state)
+        if at:
+            print(f'resumed from checkpoint step {at}')
+    state = fit(state,
+                make_joint_train_step(cfg.detector.anchors, cfg.loss,
+                                      cfg.joint),
+                train_gen,
+                eval_step=make_joint_eval_step(cfg.detector.anchors,
+                                               cfg.loss, cfg.joint),
+                val_batches=val_gen,
+                epochs=epochs or cfg.train.max_epochs,
+                shard_fn=shard_fn, logger=logger, checkpoints=ckpts,
+                early_stopping=early, reduce_lr=reduce_lr,
+                log_every_steps=cfg.train.log_every_steps)
+    logger.close()
+    ckpts.close()
+    return state
+
+
+# --------------------------------------------------------------------------
+# Flow 3: standalone detector (reference trainer.py:22-30)
+# --------------------------------------------------------------------------
+def keras_yolo_obj_detection(cfg, *, images=(), out_dir: str = '.',
+                             synthetic: bool = False,
+                             epochs: Optional[int] = None,
+                             workdir: Optional[str] = None,
+                             train: bool = False):
+    """Detector flow: predict over images (the reference runs 5 stock
+    darknet jpgs, trainer.py:26-30) and/or train standalone (fixing the
+    reference's broken KerasYOLO.train, SURVEY.md §4)."""
+    from object_tracking_tpu.models import YOLOv2Detector
+
+    detector = YOLOv2Detector(cfg.detector)
+    results = {}
+    for path in images:
+        out = os.path.join(
+            out_dir, os.path.basename(path).rsplit('.', 1)[0] + '_out.jpg')
+        results[path] = detector.predict(path, out)
+
+    if train or synthetic:
+        import jax
+
+        from object_tracking_tpu.data import (
+            DetectionBatches, parse_annotation_dir)
+        from object_tracking_tpu.training import (
+            TrainState, fit, make_detector_train_step, make_optimizer)
+
+        labels = cfg.detector.labels
+        size = cfg.detector.image_h
+        if synthetic:
+            labels = ('1', '2')
+            cfg = _synthetic_dirs(cfg, (size, size), labels)
+            detector = YOLOv2Detector(cfg.detector.__class__(
+                labels=labels, image_h=size, image_w=size,
+                grid_h=size // 32, grid_w=size // 32))
+        logs, models_dir, mesh, shard_fn = _common_setup(cfg, workdir)
+        anns, _ = parse_annotation_dir(cfg.train.train_annot_folder,
+                                       cfg.train.train_image_folder,
+                                       labels)
+        gen = DetectionBatches(
+            anns, labels, net_h=size, net_w=size,
+            grid_h=size // 32, grid_w=size // 32,
+            anchors=cfg.detector.anchors,
+            batch_size=min(cfg.detector.batch_size, max(len(anns), 1)),
+            max_boxes=cfg.train.max_boxes_per_image,
+            augment=cfg.train.augment, seed=cfg.train.seed,
+            drop_last=False)
+        state = TrainState.create(
+            detector.module.apply, detector.variables,
+            make_optimizer(cfg.train.joint_learning_rate))
+        logger, ckpts, early, reduce_lr = _make_callback_stack(
+            cfg, logs, os.path.join(models_dir, 'yolov2'), joint=False)
+        state = fit(state, make_detector_train_step(cfg.detector.anchors,
+                                                    cfg.loss),
+                    gen, epochs=epochs or cfg.train.max_epochs,
+                    shard_fn=shard_fn, logger=logger, checkpoints=ckpts,
+                    early_stopping=early, reduce_lr=reduce_lr)
+        logger.close()
+        ckpts.close()
+        return state
+    return results
+
+
+# --------------------------------------------------------------------------
+def _load_cfg(args):
+    from object_tracking_tpu.config import Config, load_config
+    cfg = load_config(args.config) if args.config else Config()
+    if getattr(args, 'epochs', None):
+        cfg.train.max_epochs = args.epochs
+    return cfg
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog='object_tracking_tpu.trainer',
+        description='TPU-native detection & tracking trainer')
+    p.add_argument('--config', help='config JSON (new or legacy layout)')
+    sub = p.add_subparsers(dest='cmd', required=True)
+
+    ps = sub.add_parser('single', help='single-object tracking '
+                        '(TinyTracker / TinyHeatmapTracker)')
+    ps.add_argument('--synthetic', action='store_true')
+    ps.add_argument('--epochs', type=int)
+    ps.add_argument('--heatmap', action='store_true')
+
+    pj = sub.add_parser('joint', help='simultaneous multi-object '
+                        'detection + tracking')
+    pj.add_argument('--synthetic', action='store_true')
+    pj.add_argument('--epochs', type=int)
+    pj.add_argument('--image-size', type=int, default=None)
+
+    pd = sub.add_parser('detect', help='standalone YOLOv2 detector')
+    pd.add_argument('--image', action='append', default=[])
+    pd.add_argument('--out-dir', default='.')
+    pd.add_argument('--train', action='store_true')
+    pd.add_argument('--synthetic', action='store_true')
+    pd.add_argument('--epochs', type=int)
+
+    args = p.parse_args(argv)
+    cfg = _load_cfg(args)
+
+    if args.cmd == 'single':
+        if args.heatmap:
+            cfg.tracker.name = 'TinyHeatmapTracker'
+        single_object_tracking(cfg, synthetic=args.synthetic,
+                               epochs=args.epochs)
+    elif args.cmd == 'joint':
+        simult_multi_obj_detection_tracking(
+            cfg, synthetic=args.synthetic, epochs=args.epochs,
+            image_size=args.image_size)
+    elif args.cmd == 'detect':
+        keras_yolo_obj_detection(cfg, images=args.image,
+                                 out_dir=args.out_dir, train=args.train,
+                                 synthetic=args.synthetic,
+                                 epochs=args.epochs)
+    return 0
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())

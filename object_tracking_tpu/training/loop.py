@@ -1,0 +1,103 @@
+"""The generic fit loop: epochs × (train steps, val steps, callbacks).
+
+Functional replacement for Keras `fit_generator` + callback stack
+(/root/reference/models_tracking/BaseTracker.py:104-112,
+MultiObjDetTracker.py:279-288): the loop owns nothing but a TrainState and
+pure step functions; checkpointing, early-stop, plateau-LR, and metric
+logging are explicit components wired here.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+
+from object_tracking_tpu.training.callbacks import (
+    EarlyStopping, ReduceLROnPlateau)
+from object_tracking_tpu.training.checkpoint import CheckpointManager
+from object_tracking_tpu.training.metrics import MetricLogger
+
+
+def _mean_metrics(history):
+    if not history:
+        return {}
+    keys = history[0].keys()
+    return {k: float(np.mean([float(h[k]) for h in history])) for k in keys}
+
+
+def fit(state,
+        train_step: Callable,
+        train_batches: Callable[[], Iterable],
+        *,
+        eval_step: Optional[Callable] = None,
+        val_batches: Optional[Callable[[], Iterable]] = None,
+        epochs: int = 100,
+        initial_epoch: int = 0,
+        shard_fn: Optional[Callable] = None,
+        logger: Optional[MetricLogger] = None,
+        checkpoints: Optional[CheckpointManager] = None,
+        early_stopping: Optional[EarlyStopping] = None,
+        reduce_lr: Optional[ReduceLROnPlateau] = None,
+        log_every_steps: int = 10,
+        on_epoch_end: Optional[Callable] = None):
+    """Run the training loop; returns the final TrainState.
+
+    Args:
+      train_batches / val_batches: zero-arg callables returning a fresh
+        iterator of host batches each epoch (the generator contract of the
+        reference's Sequence classes, re-shuffled per epoch).
+      shard_fn: host batch → device layout (parallel.mesh.shard_batch
+        bound to the mesh); identity if None.
+      on_epoch_end: optional hook (epoch, state, train_metrics,
+        val_metrics) for debug dumps etc.
+    """
+    shard = shard_fn or (lambda b: b)
+    step_count = int(state.step)
+    for epoch in range(initial_epoch, epochs):
+        t0 = time.time()
+        train_hist = []
+        for batch in train_batches():
+            state, metrics = train_step(state, shard(batch))
+            step_count += 1
+            if logger and step_count % log_every_steps == 0:
+                logger.log(step_count,
+                           {k: float(v) for k, v in metrics.items()},
+                           prefix='train')
+            train_hist.append(metrics)
+        train_metrics = _mean_metrics(train_hist)
+
+        val_metrics = {}
+        if eval_step is not None and val_batches is not None:
+            val_hist = [eval_step(state, shard(b)) for b in val_batches()]
+            val_metrics = _mean_metrics(val_hist)
+            if logger:
+                logger.log(step_count, val_metrics, prefix='val')
+
+        dt = time.time() - t0
+        print(f'epoch {epoch + 1}/{epochs} '
+              f'loss={train_metrics.get("loss", float("nan")):.4f} '
+              + (f'val_loss={val_metrics.get("loss", float("nan")):.4f} '
+                 if val_metrics else '')
+              + f'({dt:.1f}s, {len(train_hist)} steps)')
+
+        monitored = val_metrics.get('loss', train_metrics.get('loss'))
+        if checkpoints is not None:
+            checkpoints.save(epoch + 1, state,
+                             metrics={'val_loss': float(monitored)})
+        if reduce_lr is not None and monitored is not None:
+            new_lr = reduce_lr.update(float(monitored),
+                                      state.learning_rate)
+            if new_lr != state.learning_rate:
+                print(f'  reducing lr → {new_lr:.2e}')
+                state = state.with_learning_rate(new_lr)
+        if on_epoch_end is not None:
+            on_epoch_end(epoch, state, train_metrics, val_metrics)
+        if early_stopping is not None and monitored is not None:
+            if early_stopping.update(float(monitored)):
+                print(f'  early stopping at epoch {epoch + 1}')
+                break
+    if checkpoints is not None:
+        checkpoints.wait()
+    return state

@@ -1,0 +1,178 @@
+"""Jitted, mesh-shardable train/eval steps for every model family.
+
+Each factory closes over the pure module + loss config and returns a
+`step(state, batch) -> (state, metrics)` function, jitted with donated
+state. Parallelism is by *sharding propagation*: the caller lays out the
+batch with its leading axis sharded over the mesh `data` axis
+(parallel.mesh.shard_batch) and keeps the state replicated; XLA partitions
+the step and inserts the gradient all-reduce over ICI. The same compiled
+step runs single-chip (trivial mesh) and multi-chip unchanged.
+
+Reference equivalents: the Keras `fit_generator` inner step with
+`loss_weights=[0.7, 0.3]` dual loss (MultiObjDetTracker.py:274-288), BCE
+TinyTracker step (TinyTracker.py:40), and the standalone detector step
+(KerasYOLO.py:494-507, broken in the reference — SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from object_tracking_tpu.config import JointConfig, LossConfig
+from object_tracking_tpu.models.losses import (
+    binary_crossentropy, heatmap_accuracy, yolo_loss)
+
+
+def _merge_time(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, ...) → (B·T, ...): the reference's loss-side reshape
+    (MultiObjDetTracker.py:138-158)."""
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def _yolo_loss_bt(netout, batch, anchors, loss_cfg: LossConfig, step):
+    return yolo_loss(
+        _merge_time(netout), _merge_time(batch['y_true']),
+        _merge_time(batch['true_boxes']), anchors, step,
+        warm_up_batches=loss_cfg.warm_up_batches,
+        object_scale=loss_cfg.object_scale,
+        no_object_scale=loss_cfg.no_object_scale,
+        coord_scale=loss_cfg.coord_scale,
+        class_scale=loss_cfg.class_scale,
+        best_iou_threshold=loss_cfg.best_iou_threshold)
+
+
+def _joint_loss(variables, apply_fn, batch, anchors,
+                loss_cfg: LossConfig, joint_cfg: JointConfig,
+                step, train: bool):
+    mutable = ['batch_stats'] if train else False
+    out = apply_fn(variables, batch['images'], train=train,
+                   mutable=mutable)
+    out, updates = out if train else (out, {})
+    t_loss, t_aux = _yolo_loss_bt(out['track'], batch, anchors,
+                                  loss_cfg, step)
+    d_loss, d_aux = _yolo_loss_bt(out['detect'], batch, anchors,
+                                  loss_cfg, step)
+    loss = (joint_cfg.loss_weight_track * t_loss
+            + joint_cfg.loss_weight_detect * d_loss)
+    metrics = {'loss': loss, 'track_loss': t_loss, 'detect_loss': d_loss,
+               'track_recall': t_aux['recall'],
+               'detect_recall': d_aux['recall']}
+    return loss, (metrics, updates)
+
+
+def make_joint_train_step(anchors, loss_cfg: Optional[LossConfig] = None,
+                          joint_cfg: Optional[JointConfig] = None
+                          ) -> Callable:
+    loss_cfg = loss_cfg or LossConfig()
+    joint_cfg = joint_cfg or JointConfig()
+    anchors = jnp.asarray(anchors, jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, batch):
+        grad_fn = jax.value_and_grad(
+            lambda p: _joint_loss(
+                {'params': p, 'batch_stats': state.batch_stats},
+                state.apply_fn, batch, anchors, loss_cfg, joint_cfg,
+                state.step, train=True),
+            has_aux=True)
+        (_, (metrics, updates)), grads = grad_fn(state.params)
+        new_state = state.apply_gradients(
+            grads, new_batch_stats=updates.get('batch_stats'))
+        return new_state, metrics
+
+    return step
+
+
+def make_joint_eval_step(anchors, loss_cfg: Optional[LossConfig] = None,
+                         joint_cfg: Optional[JointConfig] = None
+                         ) -> Callable:
+    loss_cfg = loss_cfg or LossConfig()
+    joint_cfg = joint_cfg or JointConfig()
+    anchors = jnp.asarray(anchors, jnp.float32)
+
+    @jax.jit
+    def step(state, batch):
+        _, (metrics, _) = _joint_loss(
+            state.variables, state.apply_fn, batch, anchors, loss_cfg,
+            joint_cfg, state.step, train=False)
+        return metrics
+
+    return step
+
+
+def make_detector_train_step(anchors,
+                             loss_cfg: Optional[LossConfig] = None
+                             ) -> Callable:
+    """Standalone YOLOv2 detector training (fixes the reference's broken
+    KerasYOLO.train, KerasYOLO.py:441-507). Batch: images (B, H, W, 3),
+    y_true (B, GH, GW, A, 5+C), true_boxes (B, 1, 1, 1, TB, 4)."""
+    loss_cfg = loss_cfg or LossConfig()
+    anchors = jnp.asarray(anchors, jnp.float32)
+
+    def loss_fn(params, state, batch):
+        out, updates = state.apply_fn(
+            {'params': params, 'batch_stats': state.batch_stats},
+            batch['images'], train=True, mutable=['batch_stats'])
+        loss, aux = yolo_loss(
+            out['netout'], batch['y_true'], batch['true_boxes'], anchors,
+            state.step, warm_up_batches=loss_cfg.warm_up_batches,
+            object_scale=loss_cfg.object_scale,
+            no_object_scale=loss_cfg.no_object_scale,
+            coord_scale=loss_cfg.coord_scale,
+            class_scale=loss_cfg.class_scale,
+            best_iou_threshold=loss_cfg.best_iou_threshold)
+        return loss, (aux, updates)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (aux, updates)), grads = grad_fn(state.params, state, batch)
+        new_state = state.apply_gradients(
+            grads, new_batch_stats=updates.get('batch_stats'))
+        return new_state, {'loss': aux['loss'], 'recall': aux['recall'],
+                           'loss_xy': aux['loss_xy'],
+                           'loss_wh': aux['loss_wh'],
+                           'loss_conf': aux['loss_conf'],
+                           'loss_class': aux['loss_class']}
+
+    return step
+
+
+def _tiny_loss(variables, apply_fn, batch, heatmap: bool):
+    pred = apply_fn(variables, batch['feats'], batch['det'])
+    loss = binary_crossentropy(pred, batch['target'])
+    metrics = {'loss': loss}
+    if heatmap:
+        metrics['heatmap_acc'] = heatmap_accuracy(pred, batch['target'])
+    return loss, metrics
+
+
+def make_tiny_train_step(heatmap: bool = False) -> Callable:
+    """TinyTracker / TinyHeatmapTracker step. Batch: feats (B, T, h, w, c),
+    det (B, T, D), target (B, T, out_dim)."""
+
+    @functools.partial(jax.jit, static_argnames=(), donate_argnums=(0,))
+    def step(state, batch):
+        grad_fn = jax.value_and_grad(
+            lambda p: _tiny_loss({'params': p}, state.apply_fn, batch,
+                                 heatmap),
+            has_aux=True)
+        (_, metrics), grads = grad_fn(state.params)
+        return state.apply_gradients(grads), metrics
+
+    return step
+
+
+def make_tiny_eval_step(heatmap: bool = False) -> Callable:
+
+    @jax.jit
+    def step(state, batch):
+        _, metrics = _tiny_loss(state.variables, state.apply_fn, batch,
+                                heatmap)
+        return metrics
+
+    return step

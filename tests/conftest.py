@@ -7,7 +7,11 @@ execute for real, just slowly. Must run before jax initializes.
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# Force, don't setdefault: the harness environment pre-sets
+# JAX_PLATFORMS to the TPU plugin; tests must run on the virtual CPU
+# mesh regardless. This executes before any jax backend initialization,
+# so the override wins.
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (

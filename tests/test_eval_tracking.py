@@ -1,0 +1,128 @@
+"""Tests for ID matching, CLEAR-MOT evaluation, and the joint predictor."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from object_tracking_tpu.evaluation import (
+    average_overlap_score, evaluate_mot, overlap_score, success_auc,
+    success_curve)
+from object_tracking_tpu.ops.matching import (
+    TrackManager, greedy_match, hungarian_match)
+
+
+# ---------------------------------------------------------------- match
+def test_greedy_match_basic():
+    a = jnp.asarray([[0.5, 0.5, 0.2, 0.2], [0.1, 0.1, 0.1, 0.1]])
+    b = jnp.asarray([[0.52, 0.5, 0.2, 0.2], [0.9, 0.9, 0.1, 0.1]])
+    ok = jnp.ones((2,), bool)
+    m = greedy_match(a, ok, b, ok, iou_threshold=0.3)
+    assert m.tolist() == [0, -1]
+
+
+def test_greedy_match_one_to_one():
+    # Two b-boxes overlap the same a-box; only the better one matches.
+    a = jnp.asarray([[0.5, 0.5, 0.2, 0.2]])
+    b = jnp.asarray([[0.5, 0.5, 0.2, 0.2], [0.52, 0.5, 0.2, 0.2]])
+    m = greedy_match(a, jnp.ones((1,), bool), b, jnp.ones((2,), bool),
+                     iou_threshold=0.3)
+    assert m.tolist() == [0, -1]
+
+
+def test_greedy_match_respects_validity():
+    a = jnp.asarray([[0.5, 0.5, 0.2, 0.2]])
+    b = jnp.asarray([[0.5, 0.5, 0.2, 0.2]])
+    m = greedy_match(a, jnp.zeros((1,), bool), b, jnp.ones((1,), bool))
+    assert m.tolist() == [-1]
+
+
+def test_hungarian_beats_greedy_on_crossing():
+    # Greedy would pair (a0,b0) leaving a1 unmatched; optimal is
+    # (a0,b1),(a1,b0).
+    a = np.asarray([[0.50, 0.5, 0.20, 0.2], [0.60, 0.5, 0.20, 0.2]],
+                   np.float32)
+    b = np.asarray([[0.55, 0.5, 0.20, 0.2], [0.48, 0.5, 0.20, 0.2]],
+                   np.float32)
+    pairs = dict(hungarian_match(a, b, iou_threshold=0.1))
+    assert len(pairs) == 2
+
+
+def test_track_manager_identity_persistence():
+    tm = TrackManager(iou_threshold=0.3, max_age=1)
+    ids1 = tm.update(np.asarray([[0.5, 0.5, 0.2, 0.2]], np.float32))
+    ids2 = tm.update(np.asarray([[0.52, 0.5, 0.2, 0.2]], np.float32))
+    assert ids1 == ids2 == [0]
+    # A far-away box gets a new id.
+    ids3 = tm.update(np.asarray([[0.9, 0.9, 0.1, 0.1]], np.float32))
+    assert ids3 == [1]
+    # After max_age misses, id 0 is retired → reappearing box is new.
+    tm.update(np.zeros((0, 4), np.float32))
+    ids4 = tm.update(np.asarray([[0.5, 0.5, 0.2, 0.2]], np.float32))
+    assert ids4 == [2]
+
+
+# ----------------------------------------------------------------- eval
+def test_overlap_score_matches_hand_computed():
+    assert overlap_score([0, 0, 10, 10], [0, 0, 10, 10]) == 1.0
+    assert overlap_score([0, 0, 10, 10], [20, 20, 30, 30]) == 0.0
+    # half-overlap: inter 50, union 150
+    np.testing.assert_allclose(
+        overlap_score([0, 0, 10, 10], [5, 0, 15, 10]), 50 / 150)
+
+
+def test_average_overlap_and_success():
+    preds = [[0, 0, 10, 10], [0, 0, 10, 10]]
+    gts = [[0, 0, 10, 10], [5, 0, 15, 10]]
+    avg = average_overlap_score(preds, gts)
+    np.testing.assert_allclose(avg, (1.0 + 50 / 150) / 2)
+    th, rates = success_curve(preds, gts)
+    assert rates[0] == 1.0 and rates[-1] == 0.0
+    assert 0.0 < success_auc(preds, gts) < 1.0
+
+
+def test_evaluate_mot_perfect():
+    frames = [{1: np.array([0, 0, 10, 10]), 2: np.array([20, 20, 30, 30])}
+              for _ in range(5)]
+    m = evaluate_mot(frames, frames)
+    assert m['mota'] == 1.0
+    assert m['motp'] == 1.0
+    assert m['fp'] == m['fn'] == m['id_switches'] == 0
+
+
+def test_evaluate_mot_counts_errors():
+    gt = [{1: np.array([0, 0, 10, 10])} for _ in range(4)]
+    # pred: missing frame 0 (FN), extra box frame 1 (FP), id switch at 2.
+    pred = [
+        {},
+        {7: np.array([0, 0, 10, 10]), 8: np.array([50, 50, 60, 60])},
+        {9: np.array([0, 0, 10, 10])},
+        {9: np.array([0, 0, 10, 10])},
+    ]
+    m = evaluate_mot(gt, pred)
+    assert m['fn'] == 1 and m['fp'] == 1 and m['id_switches'] == 1
+    np.testing.assert_allclose(m['mota'], 1.0 - 3 / 4)
+
+
+def test_evaluate_mot_empty_gt():
+    m = evaluate_mot([{}], [{1: np.array([0, 0, 5, 5])}])
+    assert m['fp'] == 1 and m['num_gt'] == 0
+
+
+# ------------------------------------------------------------ predictor
+def test_joint_predictor_window(rng):
+    from object_tracking_tpu.inference import JointPredictor
+    from object_tracking_tpu.models import MultiObjDetTracker
+
+    t, size, c = 2, 64, 2
+    model = MultiObjDetTracker(num_classes=c, num_anchors=2,
+                               convlstm_features=8)
+    frames = jnp.asarray(rng.rand(t, size, size, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), frames[None])
+    pred = JointPredictor(
+        model, variables, anchors=[1.0, 1.0, 2.0, 2.0],
+        labels=['a', 'b'], obj_threshold=0.0, net_size=(size, size))
+    out = pred.predict_window(np.asarray(frames))
+    assert len(out) == t
+    for dets in out:
+        for d in dets:
+            assert set(d) == {'label', 'score', 'box', 'track_id'}

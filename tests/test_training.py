@@ -1,0 +1,181 @@
+"""Training-layer tests: callbacks, state, steps, checkpointing, fit loop."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import flax.linen as nn
+
+from object_tracking_tpu.models import TinyTracker
+from object_tracking_tpu.training import (
+    CheckpointManager, EarlyStopping, MetricLogger, ReduceLROnPlateau,
+    TrainState, fit, make_optimizer, make_tiny_eval_step,
+    make_tiny_train_step)
+
+
+# ---------------------------------------------------------------- callbacks
+def test_early_stopping_patience():
+    es = EarlyStopping(patience=3, min_delta=0.0)
+    assert not es.update(1.0)
+    assert not es.update(0.9)        # improvement resets
+    assert not es.update(0.95)
+    assert not es.update(0.95)
+    assert es.update(0.95)           # 3rd non-improving epoch → stop
+
+
+def test_reduce_lr_on_plateau():
+    rl = ReduceLROnPlateau(factor=0.5, patience=2, min_lr=1e-5,
+                           min_delta=0.0)
+    lr = 1e-3
+    lr = rl.update(1.0, lr)
+    assert lr == 1e-3
+    lr = rl.update(1.0, lr)          # wait 1
+    lr = rl.update(1.0, lr)          # wait 2 → reduce
+    assert lr == pytest.approx(5e-4)
+    for _ in range(20):
+        lr = rl.update(1.0, lr)
+    assert lr >= 1e-5                # clamped at min_lr
+
+
+# ------------------------------------------------------------------- state
+class _MLP(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(1)(nn.tanh(nn.Dense(8)(x)))
+
+
+def _mlp_state(lr=1e-2):
+    m = _MLP()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)))
+    return TrainState.create(m.apply, v, make_optimizer(lr))
+
+
+def test_learning_rate_roundtrip_is_pure():
+    st = _mlp_state(1e-3)
+    st2 = st.with_learning_rate(5e-4)
+    assert st.learning_rate == pytest.approx(1e-3)
+    assert st2.learning_rate == pytest.approx(5e-4)
+
+
+def test_apply_gradients_steps_and_descends():
+    st = _mlp_state()
+    x = jnp.ones((4, 3))
+    y = jnp.full((4, 1), 2.0)
+
+    def loss_fn(p):
+        return jnp.mean((st.apply_fn({'params': p}, x) - y) ** 2)
+
+    losses = []
+    for _ in range(20):
+        loss, grads = jax.value_and_grad(loss_fn)(st.params)
+        st = st.apply_gradients(grads)
+        losses.append(float(loss))
+    assert int(st.step) == 20
+    assert losses[-1] < losses[0]
+
+
+# ------------------------------------------------------------------- steps
+def _tiny_batch(rng, b=2, t=3, out=4):
+    return {
+        'feats': jnp.asarray(rng.rand(b, t, 4, 4, 8), jnp.float32),
+        'det': jnp.asarray(rng.rand(b, t, out), jnp.float32),
+        'target': jnp.asarray(rng.rand(b, t, out) > 0.5, jnp.float32),
+    }
+
+
+def test_tiny_train_step_learns(rng):
+    tt = TinyTracker(lstm_units=16, out_dim=4)
+    batch = _tiny_batch(rng)
+    v = tt.init(jax.random.PRNGKey(0), batch['feats'], batch['det'])
+    st = TrainState.create(tt.apply, v, make_optimizer(1e-2))
+    step = make_tiny_train_step()
+    first = None
+    for _ in range(10):
+        st, m = step(st, batch)
+        first = first if first is not None else float(m['loss'])
+    assert float(m['loss']) < first
+
+
+def test_tiny_eval_step_heatmap_metrics(rng):
+    tt = TinyTracker(lstm_units=8, out_dim=16)
+    batch = _tiny_batch(rng, out=16)
+    v = tt.init(jax.random.PRNGKey(0), batch['feats'], batch['det'])
+    st = TrainState.create(tt.apply, v, make_optimizer(1e-3))
+    m = make_tiny_eval_step(heatmap=True)(st, batch)
+    assert 'heatmap_acc' in m and 0.0 <= float(m['heatmap_acc']) <= 1.0
+
+
+# -------------------------------------------------------------- checkpoint
+def test_checkpoint_roundtrip(tmp_path):
+    st = _mlp_state()
+    x = jnp.ones((4, 3))
+
+    def loss_fn(p):
+        return jnp.mean(st.apply_fn({'params': p}, x) ** 2)
+
+    for _ in range(3):
+        st = st.apply_gradients(jax.grad(loss_fn)(st.params))
+
+    mgr = CheckpointManager(str(tmp_path / 'ckpt'), max_to_keep=2)
+    mgr.save(1, st, metrics={'val_loss': 0.5})
+    mgr.wait()
+    assert mgr.latest_step() == 1
+
+    template = _mlp_state()
+    restored, step = mgr.restore(template)
+    assert step == 1
+    assert int(restored.step) == 3
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b)),
+        restored.params, st.params)
+    mgr.close()
+
+
+def test_checkpoint_restore_empty_dir(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / 'none'))
+    st = _mlp_state()
+    restored, step = mgr.restore(st)
+    assert step is None and restored is st
+    mgr.close()
+
+
+# -------------------------------------------------------------------- loop
+def test_fit_loop_end_to_end(tmp_path, rng):
+    tt = TinyTracker(lstm_units=8, out_dim=4)
+    batch = _tiny_batch(rng)
+    v = tt.init(jax.random.PRNGKey(0), batch['feats'], batch['det'])
+    st = TrainState.create(tt.apply, v, make_optimizer(1e-2))
+
+    logger = MetricLogger(str(tmp_path / 'logs'), use_tensorboard=False)
+    ckpts = CheckpointManager(str(tmp_path / 'ckpt'))
+    final = fit(
+        st, make_tiny_train_step(),
+        lambda: iter([batch, batch]),
+        eval_step=make_tiny_eval_step(),
+        val_batches=lambda: iter([batch]),
+        epochs=2, logger=logger, checkpoints=ckpts,
+        early_stopping=EarlyStopping(patience=5),
+        reduce_lr=ReduceLROnPlateau(patience=3),
+        log_every_steps=1)
+    assert int(final.step) == 4
+    assert ckpts.latest_step() == 2
+    assert os.path.exists(tmp_path / 'logs' / 'metrics.jsonl')
+    logger.close()
+    ckpts.close()
+
+
+def test_fit_early_stops(rng):
+    tt = TinyTracker(lstm_units=8, out_dim=4)
+    batch = _tiny_batch(rng)
+    v = tt.init(jax.random.PRNGKey(0), batch['feats'], batch['det'])
+    # lr=0 → no improvement → early stop after patience epochs.
+    st = TrainState.create(tt.apply, v, make_optimizer(0.0))
+    final = fit(
+        st, make_tiny_train_step(), lambda: iter([batch]),
+        eval_step=make_tiny_eval_step(), val_batches=lambda: iter([batch]),
+        epochs=50, early_stopping=EarlyStopping(patience=2, min_delta=0.0))
+    assert int(final.step) <= 4
