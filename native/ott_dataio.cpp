@@ -1,0 +1,348 @@
+// ott_dataio — native host-side data runtime for object_tracking_tpu.
+//
+// The reference ships two native runtimes (darknet C, Caffe C++ — SURVEY.md
+// §2 L0) whose host-side capabilities are image IO (load_image_color),
+// resize, and NMS (do_nms_obj), consumed over a C ABI from Python
+// (reference: models_detection/YOLO.py:58-119). This library rebuilds that
+// capability surface TPU-first: the *device* work (forward, decode) lives in
+// JAX/XLA, while the host-bound byte work — JPEG/PNG decode, bilinear
+// resize, uint8→float normalize — runs here in C++ so the single host core
+// spends no Python-interpreter cycles per pixel.
+//
+// C ABI (ctypes-consumed by object_tracking_tpu/data/native_loader.py):
+//   ott_version()                 — ABI version for cache invalidation
+//   ott_load_image_f32(...)       — one file → resized RGB float32 [0,1]
+//   ott_image_size(...)           — decode header only → (h, w)
+//   ott_load_batch_f32(...)       — N files → (N,H,W,3) with a worker pool
+//   ott_nms_scores(...)           — reference-semantics greedy per-class NMS
+//                                   (darknet do_nms_obj capability,
+//                                   utility/utils.py:239-252 semantics)
+//
+// Build: native/Makefile → libottdata.so (links libjpeg, libpng only).
+
+#include <cstddef>
+#include <cstdio>  // jpeglib.h needs FILE declared first
+
+#include <jpeglib.h>
+#include <png.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <numeric>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------- decode --
+
+struct Image8 {            // tightly packed RGB8, HWC
+  int h = 0, w = 0;
+  std::vector<uint8_t> px;
+};
+
+struct JpegErr {
+  jpeg_error_mgr pub;
+  jmp_buf jump;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jump, 1);
+}
+
+bool decode_jpeg(const uint8_t* data, size_t len, Image8* out,
+                 bool header_only) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
+               static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  if (header_only) {
+    out->h = static_cast<int>(cinfo.image_height);
+    out->w = static_cast<int>(cinfo.image_width);
+    jpeg_destroy_decompress(&cinfo);
+    return true;
+  }
+  jpeg_start_decompress(&cinfo);
+  out->h = static_cast<int>(cinfo.output_height);
+  out->w = static_cast<int>(cinfo.output_width);
+  out->px.resize(static_cast<size_t>(out->h) * out->w * 3);
+  const int stride = out->w * 3;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->px.data() +
+                   static_cast<size_t>(cinfo.output_scanline) * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+struct PngReadCtx {
+  const uint8_t* data;
+  size_t len, pos;
+};
+
+void png_read_fn(png_structp png, png_bytep out, png_size_t n) {
+  auto* ctx = static_cast<PngReadCtx*>(png_get_io_ptr(png));
+  if (ctx->pos + n > ctx->len) png_error(png, "png: truncated");
+  std::memcpy(out, ctx->data + ctx->pos, n);
+  ctx->pos += n;
+}
+
+bool decode_png(const uint8_t* data, size_t len, Image8* out,
+                bool header_only) {
+  if (len < 8 || png_sig_cmp(data, 0, 8)) return false;
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr,
+                             nullptr);
+  if (!png) return false;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  PngReadCtx ctx{data, len, 0};
+  png_set_read_fn(png, &ctx, png_read_fn);
+  png_read_info(png, info);
+  out->h = static_cast<int>(png_get_image_height(png, info));
+  out->w = static_cast<int>(png_get_image_width(png, info));
+  if (header_only) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return true;
+  }
+  // Normalize every layout to 8-bit RGB.
+  png_byte color = png_get_color_type(png, info);
+  png_byte depth = png_get_bit_depth(png, info);
+  if (depth == 16) png_set_strip_16(png);
+  if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color == PNG_COLOR_TYPE_GRAY && depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+
+  out->px.resize(static_cast<size_t>(out->h) * out->w * 3);
+  std::vector<png_bytep> rows(out->h);
+  for (int y = 0; y < out->h; ++y)
+    rows[y] = out->px.data() + static_cast<size_t>(y) * out->w * 3;
+  png_read_image(png, rows.data());
+  png_read_end(png, nullptr);
+  png_destroy_read_struct(&png, &info, nullptr);
+  return true;
+}
+
+bool read_file(const char* path, std::vector<uint8_t>* buf) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  long n = std::ftell(f);
+  if (n < 0) {
+    std::fclose(f);
+    return false;
+  }
+  std::fseek(f, 0, SEEK_SET);
+  buf->resize(static_cast<size_t>(n));
+  size_t got = n ? std::fread(buf->data(), 1, static_cast<size_t>(n), f) : 0;
+  std::fclose(f);
+  return got == static_cast<size_t>(n);
+}
+
+bool decode_file(const char* path, Image8* out, bool header_only) {
+  std::vector<uint8_t> buf;
+  if (!read_file(path, &buf) || buf.size() < 8) return false;
+  if (buf[0] == 0xFF && buf[1] == 0xD8)
+    return decode_jpeg(buf.data(), buf.size(), out, header_only);
+  if (!png_sig_cmp(buf.data(), 0, 8))
+    return decode_png(buf.data(), buf.size(), out, header_only);
+  // Fall through: try JPEG anyway (some files lack clean magic).
+  return decode_jpeg(buf.data(), buf.size(), out, header_only);
+}
+
+// ---------------------------------------------------------------- resize --
+
+// Bilinear resize uint8 RGB → float32 RGB in [0,1], matching
+// cv2.INTER_LINEAR geometry: src = (dst + 0.5) * scale - 0.5.
+//
+// Separable two-pass formulation: each needed *source* row is horizontally
+// interpolated (and /255-normalized, fusing reference utils.py:150-153)
+// exactly once into a cache, and the per-output-row work is a single
+// vertical lerp over dst_w*3 floats — a clean auto-vectorizable axpy. For
+// upscaling (the common 416² case) this does ~(sx+2)× less interpolation
+// arithmetic than the naive 4-tap-per-output-pixel loop.
+void resize_bilinear_f32(const Image8& src, int dst_h, int dst_w,
+                         float* dst) {
+  const float sy = static_cast<float>(src.h) / dst_h;
+  const float sx = static_cast<float>(src.w) / dst_w;
+  const uint8_t* sp = src.px.data();
+  const int sw = src.w;
+  const int row_n = dst_w * 3;
+  constexpr float kInv255 = 1.0f / 255.0f;
+
+  std::vector<int> x0s(dst_w), x1s(dst_w);
+  std::vector<float> fxs(dst_w);
+  for (int x = 0; x < dst_w; ++x) {
+    float fx = (x + 0.5f) * sx - 0.5f;
+    fx = std::max(0.0f, std::min(fx, static_cast<float>(src.w - 1)));
+    int x0 = static_cast<int>(fx);
+    x0s[x] = x0 * 3;
+    x1s[x] = std::min(x0 + 1, src.w - 1) * 3;
+    fxs[x] = fx - x0;
+  }
+
+  // Two-slot cache of horizontally interpolated source rows. Source row
+  // indices are monotonically nondecreasing in y, so two slots suffice.
+  std::vector<float> hbuf(2 * static_cast<size_t>(row_n));
+  int cached[2] = {-1, -1};
+  auto hrow = [&](int ys) -> const float* {
+    for (int s = 0; s < 2; ++s)
+      if (cached[s] == ys) return hbuf.data() + s * row_n;
+    int slot = (cached[0] == -1 || cached[1] == -1)
+                   ? (cached[0] == -1 ? 0 : 1)
+                   : (cached[0] < cached[1] ? 0 : 1);  // evict older
+    float* hb = hbuf.data() + slot * row_n;
+    const uint8_t* r = sp + static_cast<size_t>(ys) * sw * 3;
+    for (int x = 0; x < dst_w; ++x) {
+      const int x0 = x0s[x], x1 = x1s[x];
+      const float w1 = fxs[x], w0 = 1.0f - w1;
+      hb[x * 3 + 0] = (w0 * r[x0 + 0] + w1 * r[x1 + 0]) * kInv255;
+      hb[x * 3 + 1] = (w0 * r[x0 + 1] + w1 * r[x1 + 1]) * kInv255;
+      hb[x * 3 + 2] = (w0 * r[x0 + 2] + w1 * r[x1 + 2]) * kInv255;
+    }
+    cached[slot] = ys;
+    return hb;
+  };
+
+  for (int y = 0; y < dst_h; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    fy = std::max(0.0f, std::min(fy, static_cast<float>(src.h - 1)));
+    int y0 = static_cast<int>(fy);
+    int y1 = std::min(y0 + 1, src.h - 1);
+    const float wy = fy - y0;
+    const float* h0 = hrow(y0);
+    const float* h1 = (y1 == y0) ? h0 : hrow(y1);
+    float* drow = dst + static_cast<size_t>(y) * row_n;
+    if (wy == 0.0f || h0 == h1) {
+      std::memcpy(drow, h0, sizeof(float) * row_n);
+    } else {
+      const float w0 = 1.0f - wy;
+      for (int i = 0; i < row_n; ++i) drow[i] = w0 * h0[i] + wy * h1[i];
+    }
+  }
+}
+
+int load_one(const char* path, int out_h, int out_w, float* out) {
+  Image8 img;
+  if (!decode_file(path, &img, /*header_only=*/false)) return 1;
+  if (img.h <= 0 || img.w <= 0) return 2;
+  resize_bilinear_f32(img, out_h, out_w, out);
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int ott_version() { return 3; }
+
+// One file → out (out_h*out_w*3 float32, RGB HWC, [0,1]). 0 on success.
+int ott_load_image_f32(const char* path, int out_h, int out_w, float* out) {
+  return load_one(path, out_h, out_w, out);
+}
+
+// Decode header only. 0 on success.
+int ott_image_size(const char* path, int* h, int* w) {
+  Image8 img;
+  if (!decode_file(path, &img, /*header_only=*/true)) return 1;
+  *h = img.h;
+  *w = img.w;
+  return 0;
+}
+
+// N files → out (n*out_h*out_w*3). Worker pool of n_threads (<=0 → 1).
+// Returns the number of failed images; failed slots are zero-filled.
+int ott_load_batch_f32(const char** paths, int n, int out_h, int out_w,
+                       float* out, int n_threads) {
+  if (n <= 0) return 0;
+  const size_t stride = static_cast<size_t>(out_h) * out_w * 3;
+  int workers = std::max(1, std::min(n_threads <= 0 ? 1 : n_threads, n));
+  std::atomic<int> next{0}, failed{0};
+  auto work = [&]() {
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      if (load_one(paths[i], out_h, out_w, out + stride * i) != 0) {
+        std::memset(out + stride * i, 0, stride * sizeof(float));
+        failed.fetch_add(1);
+      }
+    }
+  };
+  if (workers == 1) {
+    work();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(workers);
+    for (int t = 0; t < workers; ++t) pool.emplace_back(work);
+    for (auto& th : pool) th.join();
+  }
+  return failed.load();
+}
+
+// Greedy per-class NMS with the reference's exact semantics
+// (utility/utils.py:239-252; the darknet do_nms_obj capability): per class,
+// walk boxes in descending score order; an already-zeroed box suppresses
+// nothing; otherwise zero every lower-ranked box with IoU >= thresh.
+// boxes: (n,4) center-format (cx,cy,w,h). scores: (n,c), modified in place.
+void ott_nms_scores(const float* boxes, float* scores, int n, int c,
+                    float thresh) {
+  auto iou = [&](int i, int j) -> float {
+    const float* a = boxes + i * 4;
+    const float* b = boxes + j * 4;
+    auto overlap = [](float c1, float s1, float c2, float s2) {
+      float lo = std::max(c1 - s1 * 0.5f, c2 - s2 * 0.5f);
+      float hi = std::min(c1 + s1 * 0.5f, c2 + s2 * 0.5f);
+      return std::max(0.0f, hi - lo);
+    };
+    float inter = overlap(a[0], a[2], b[0], b[2]) *
+                  overlap(a[1], a[3], b[1], b[3]);
+    float uni = a[2] * a[3] + b[2] * b[3] - inter;
+    return uni > 0 ? inter / uni : 0.0f;
+  };
+  std::vector<int> order(n);
+  for (int cls = 0; cls < c; ++cls) {
+    std::iota(order.begin(), order.end(), 0);
+    std::stable_sort(order.begin(), order.end(), [&](int i, int j) {
+      return scores[i * c + cls] > scores[j * c + cls];
+    });
+    for (int oi = 0; oi < n; ++oi) {
+      int i = order[oi];
+      if (scores[i * c + cls] <= 0.0f) continue;
+      for (int oj = oi + 1; oj < n; ++oj) {
+        int j = order[oj];
+        if (iou(i, j) >= thresh) scores[j * c + cls] = 0.0f;
+      }
+    }
+  }
+}
+
+}  // extern "C"

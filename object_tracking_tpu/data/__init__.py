@@ -21,3 +21,4 @@ from object_tracking_tpu.data.generators import (  # noqa: F401
 from object_tracking_tpu.data.converters import (  # noqa: F401
     mot_to_voc, visualtb_to_voc,
 )
+from object_tracking_tpu.data import native_loader  # noqa: F401

@@ -41,6 +41,13 @@ from object_tracking_tpu.ops.targets import encode_targets
 
 
 def _default_loader(net_h: int, net_w: int) -> Callable[[str], np.ndarray]:
+    # Prefer the native C++ runtime (decode + fused resize/normalize,
+    # native/ott_dataio.cpp); fall back to cv2 when the .so is unavailable.
+    from object_tracking_tpu.data import native_loader
+    native = native_loader.make_loader(net_h, net_w)
+    if native is not None:
+        return native
+
     def load(path: str) -> np.ndarray:
         import cv2
         img = cv2.imread(path)

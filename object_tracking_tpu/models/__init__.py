@@ -10,3 +10,6 @@ from object_tracking_tpu.models.multi_obj_det_tracker import (  # noqa: F401
 )
 from object_tracking_tpu.models.yolov2 import YOLOv2Detector  # noqa: F401
 from object_tracking_tpu.models.fake_detector import FakeDetector  # noqa: F401
+from object_tracking_tpu.models.vgg16 import (  # noqa: F401
+    VGG16, VGG16PriorSource,
+)

@@ -50,10 +50,48 @@ def _nms_one_class(scores_c: jnp.ndarray, iou: jnp.ndarray,
     return scores_c * alive
 
 
-@functools.partial(jax.jit, static_argnames=('nms_threshold', 'top_k'))
+def _nms_all_classes_matmul(scores: jnp.ndarray, iou: jnp.ndarray,
+                            nms_threshold: float) -> jnp.ndarray:
+    """Greedy NMS over all classes at once, MXU-formulated.
+
+    Equivalent reformulation of the rank-walk: each round picks the
+    highest not-yet-processed surviving score *per class* (argmax ≡ next
+    rank position with live score), marks it done, and suppresses every
+    not-done box with IoU >= threshold against it. The per-class IoU-row
+    gather is a one-hot (C, K) × (K, K) matmul — one MXU op per round
+    instead of C dynamic gathers — and rounds where a class is exhausted
+    (best score 0) are no-ops, exactly like zero-score boxes in the
+    reference walk (utils.py:245).
+    """
+    k, c = scores.shape
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, c), 0)
+
+    def body(_, carry):
+        alive, done = carry                       # (K, C) float 0/1
+        cand = scores * alive * (1.0 - done)
+        best = jnp.argmax(cand, axis=0)           # (C,)
+        active = (jnp.max(cand, axis=0) > 0.0).astype(scores.dtype)
+        onehot = (row_ids == best[None, :]).astype(scores.dtype)
+        sel_iou = jnp.dot(onehot.T, iou,
+                          preferred_element_type=jnp.float32)   # (C, K)
+        suppress = ((sel_iou.T >= nms_threshold).astype(scores.dtype)
+                    * (1.0 - done) * (1.0 - onehot))
+        alive = alive * (1.0 - suppress * active[None, :])
+        done = jnp.minimum(done + onehot * active[None, :], 1.0)
+        return alive, done
+
+    ones = jnp.ones((k, c), scores.dtype)
+    alive, _ = jax.lax.fori_loop(0, k, body, (ones, jnp.zeros_like(ones)))
+    return scores * alive
+
+
+@functools.partial(jax.jit, static_argnames=('nms_threshold', 'top_k',
+                                             'impl'))
 def greedy_nms_scores(boxes: jnp.ndarray, scores: jnp.ndarray,
                       nms_threshold: float = 0.45,
-                      top_k: int = 128) -> tuple[jnp.ndarray, jnp.ndarray]:
+                      top_k: int = 128,
+                      impl: str = 'matmul'
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-class greedy NMS on a fixed-size candidate set.
 
     Args:
@@ -61,6 +99,8 @@ def greedy_nms_scores(boxes: jnp.ndarray, scores: jnp.ndarray,
       scores: (N, C) per-class scores, already thresholded (zeros = dead).
       nms_threshold: IoU at or above which a box suppresses lower-ranked.
       top_k: candidate cap; 0 / >= N means exact full-N NMS.
+      impl: 'matmul' (one-hot row-select, MXU-friendly, default) or
+        'sort' (per-class rank walk). Identical results.
 
     Returns:
       (kept_boxes (K, 4), kept_scores (K, C)) where K = min(top_k, N):
@@ -73,7 +113,10 @@ def greedy_nms_scores(boxes: jnp.ndarray, scores: jnp.ndarray,
         boxes = boxes[idx]
         scores = scores[idx]
     iou = pairwise_iou_center(boxes, boxes)
-    new_scores = jax.vmap(
-        lambda sc: _nms_one_class(sc, iou, nms_threshold),
-        in_axes=1, out_axes=1)(scores)
+    if impl == 'matmul':
+        new_scores = _nms_all_classes_matmul(scores, iou, nms_threshold)
+    else:
+        new_scores = jax.vmap(
+            lambda sc: _nms_one_class(sc, iou, nms_threshold),
+            in_axes=1, out_axes=1)(scores)
     return boxes, new_scores

@@ -9,13 +9,24 @@ import os
 
 # Force, don't setdefault: the harness environment pre-sets
 # JAX_PLATFORMS to the TPU plugin; tests must run on the virtual CPU
-# mesh regardless. This executes before any jax backend initialization,
-# so the override wins.
+# mesh regardless.
 os.environ['JAX_PLATFORMS'] = 'cpu'
+# Keep child processes (if any) from re-registering the axon plugin.
+os.environ.pop('PALLAS_AXON_POOL_IPS', None)
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
+
+# The env var alone is NOT enough here: the terminal's sitecustomize.py
+# registers the axon TPU plugin at interpreter startup and calls
+# jax.config.update('jax_platforms', 'axon,cpu'), which takes precedence
+# over JAX_PLATFORMS. Re-update the config before any backend
+# initializes so the suite really runs on the virtual CPU mesh (tests
+# sharing the single-client TPU tunnel deadlock otherwise).
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
