@@ -93,25 +93,30 @@ def main() -> None:
     clip = rng.rand(1, t, 416, 416, 3).astype(np.float32)
 
     # ---------------- TPU-native path ---------------------------------
+    # Production input layout: frames stream host→HBM as uint8 (4x less
+    # interconnect traffic than f32) and normalize on device, fused into
+    # the first conv by XLA.
     model = MultiObjDetTracker(num_classes=num_classes, num_anchors=5,
                                convlstm_features=512,
                                dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, t, 416, 416, 3)))
+    clip_u8 = (clip * 255).astype(np.uint8)
 
     @jax.jit
-    def native_step(variables, images):
+    def native_step(variables, frames_u8):
+        images = frames_u8.astype(jnp.float32) / 255.0
         out = model.apply(variables, images, train=False)
         track = out['track'][0]                      # (T, GH, GW, A, 5+C)
         return jax.vmap(lambda n: decode_and_nms(
             n, jnp.asarray(YOLOV2_ANCHORS)))(track)
 
-    res = native_step(variables, clip)               # compile
+    res = native_step(variables, clip_u8)            # compile
     jax.block_until_ready(res)
-    iters = 20
+    iters = 30
     start = time.perf_counter()
     for _ in range(iters):
-        res = native_step(variables, clip)
+        res = native_step(variables, clip_u8)
     jax.block_until_ready(res)
     native_fps = iters * t / (time.perf_counter() - start)
 

@@ -93,6 +93,16 @@ class _GeneratorBase:
         self.augment = augment
         self.aug_config = aug_config or AugmentConfig()
         self.loader = loader or _default_loader(net_h, net_w)
+        # Batched fast path: one C call decodes the whole batch
+        # (native/ott_dataio.cpp worker pool) when no custom loader is
+        # injected and the native library is available.
+        self._batch_loader = None
+        if loader is None:
+            from object_tracking_tpu.data import native_loader
+            if native_loader.available():
+                self._batch_loader = (
+                    lambda paths: native_loader.load_batch(
+                        paths, net_h, net_w, n_threads=2))
         self.debug_dir = debug_dir
         self._rng = np.random.RandomState(seed)
         self._key = jax.random.PRNGKey(seed)
@@ -108,6 +118,13 @@ class _GeneratorBase:
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    def _load_paths(self, paths: Sequence[str]) -> np.ndarray:
+        """(N, net_h, net_w, 3) float32 batch — native batched decode
+        when available, per-path loader otherwise."""
+        if self._batch_loader is not None:
+            return self._batch_loader(list(paths))
+        return np.stack([self.loader(p) for p in paths])
 
     def _dump_debug(self, images: np.ndarray, boxes: np.ndarray,
                     batch_idx: int) -> None:
@@ -164,7 +181,7 @@ class DetectionBatches(_GeneratorBase):
             yield self._make_batch([self.annotations[i] for i in idx], bi)
 
     def _make_batch(self, anns: List[Annotation], batch_idx: int) -> Dict:
-        images = np.stack([self.loader(a.filename) for a in anns])
+        images = self._load_paths([a.filename for a in anns])
         padded = [_pad_boxes(a, self.labels, self.max_boxes,
                              self.net_h, self.net_w) for a in anns]
         boxes = np.stack([p[0] for p in padded])
@@ -225,9 +242,10 @@ class SequenceBatches(_GeneratorBase):
 
     def _make_batch(self, wins: List[List[Annotation]], batch_idx: int
                     ) -> Dict:
-        images = np.stack([
-            np.stack([self.loader(a.filename) for a in win])
-            for win in wins])                      # (B, T, H, W, 3)
+        flat_paths = [a.filename for win in wins for a in win]
+        t = len(wins[0])
+        images = self._load_paths(flat_paths).reshape(
+            (len(wins), t) + (self.net_h, self.net_w, 3))  # (B,T,H,W,3)
         boxes, cls, valid = [], [], []
         for win in wins:
             p = [_pad_boxes(a, self.labels, self.max_boxes,
@@ -310,7 +328,7 @@ class TrackerSequenceBatches(_GeneratorBase):
                     paths.append(a.filename)
         for i in range(0, len(paths), chunk):
             batch_paths = paths[i:i + chunk]
-            images = np.stack([self.loader(p) for p in batch_paths])
+            images = self._load_paths(batch_paths)
             feats, boxes, labels, scores, valid = \
                 self.detector.forward_batch(images,
                                             layer=self.feature_layer)

@@ -25,6 +25,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from object_tracking_tpu.models.convlstm import FusedConvLSTM
 from object_tracking_tpu.models.darknet19 import Darknet19
 
 
@@ -57,9 +58,11 @@ class MultiObjDetTracker(nn.Module):
         x_vis = det['conv_feat'].reshape(b, t, gh, gw, -1)
         z = jnp.concatenate([x_bbox, x_vis], axis=-1).astype(self.dtype)
 
-        cell = nn.ConvLSTMCell(self.convlstm_features, (3, 3),
-                               dtype=self.dtype)
-        z = nn.RNN(cell, name='tconv_lstm')(z)   # (B, T, GH, GW, F)
+        # Split-projection ConvLSTM: input conv MXU-batched over B·T, only
+        # the recurrent conv + fused gates stay in the sequential scan
+        # (models/convlstm.py; Keras ConvLSTM2D equivalent).
+        z = FusedConvLSTM(self.convlstm_features, (3, 3),
+                          dtype=self.dtype, name='tconv_lstm')(z)
 
         z = nn.Conv(out_ch, (1, 1), padding='SAME', dtype=self.dtype,
                     kernel_init=nn.initializers.lecun_normal(),

@@ -141,6 +141,12 @@ class YOLOv2Detector:
                         cv2.FONT_HERSHEY_SIMPLEX, 1e-3 * ih, (0, 255, 0), 2)
         cv2.imwrite(output_path, img)
 
+    def detect(self, input_path: str
+               ) -> List[Tuple[str, float, Tuple[float, ...]]]:
+        """Detections for one image, sorted by score — the darknet
+        `detect` capability (models_detection/YOLO.py:140-162)."""
+        return self.predict(input_path)
+
     def extract(self, input_path: str, layer: str = 'conv_feat'
                 ) -> np.ndarray:
         """Intermediate feature volume for one image (KerasYOLO.py:509-520).
