@@ -16,3 +16,6 @@ from object_tracking_tpu.parallel.mesh import (  # noqa: F401
 from object_tracking_tpu.parallel.context import (  # noqa: F401
     context_parallel_scan,
 )
+from object_tracking_tpu.parallel.sharding import (  # noqa: F401
+    plan_tp_specs, shard_variables, tp_sharding_summary,
+)

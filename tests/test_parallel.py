@@ -8,7 +8,7 @@ import pytest
 from object_tracking_tpu.config import MeshConfig
 from object_tracking_tpu.parallel import (
     context_parallel_scan, data_sharding, local_batch_size, make_mesh,
-    shard_batch)
+    plan_tp_specs, shard_batch, shard_variables, tp_sharding_summary)
 
 
 def test_mesh_shape_default():
@@ -74,6 +74,73 @@ def test_context_parallel_scan_pytree_carry(rng):
     _, ys_ref = jax.lax.scan(cell, c0, xs)
     np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_tp_specs_shard_large_kernels_only():
+    from jax.sharding import PartitionSpec as P
+    mesh = make_mesh(MeshConfig(model_parallel=2))
+    variables = {
+        'params': {
+            'big': {'kernel': np.zeros((3, 3, 256, 128), np.float32),
+                    'bias': np.zeros((128,), np.float32)},
+            'tiny': {'kernel': np.zeros((1, 1, 4, 8), np.float32)},
+            'odd': {'kernel': np.zeros((3, 3, 256, 127), np.float32)},
+        },
+        'batch_stats': {'big': {'mean': np.zeros((128,), np.float32)}},
+    }
+    specs = plan_tp_specs(variables, mesh)
+    assert specs['params']['big']['kernel'] == P(None, None, None, 'model')
+    assert specs['params']['big']['bias'] == P('model')
+    assert specs['params']['tiny']['kernel'] == P()     # below min_params
+    assert specs['params']['odd']['kernel'] == P()      # 127 % 2 != 0
+    assert specs['batch_stats']['big']['mean'] == P()   # stats replicate
+
+    summary = tp_sharding_summary(variables, mesh)
+    assert summary['sharded'][0] == 2
+
+
+def test_tp_train_step_matches_dp_only(rng):
+    """A dpxtp-sharded joint train step must agree with dp-only."""
+    import copy
+
+    from object_tracking_tpu.config import (
+        JointConfig, LossConfig, YOLOV2_ANCHORS)
+    from object_tracking_tpu.models import MultiObjDetTracker
+    from object_tracking_tpu.training import (
+        TrainState, make_joint_train_step, make_optimizer)
+
+    b, t, h, w, c = 4, 2, 64, 64, 3
+    gh, gw, a = h // 32, w // 32, 5
+    model = MultiObjDetTracker(num_classes=c, num_anchors=a,
+                               convlstm_features=16)
+    images = jnp.zeros((b, t, h, w, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), images)
+    batch = {
+        'images': rng.rand(b, t, h, w, 3).astype(np.float32),
+        'y_true': np.zeros((b, t, gh, gw, a, 5 + c), np.float32),
+        'true_boxes': np.zeros((b, t, 1, 1, 1, 50, 4), np.float32),
+    }
+    batch['y_true'][:, :, 0, 0, 2] = [0.5, 0.5, 0.6, 0.6, 1.0, 0, 1, 0]
+    batch['true_boxes'][:, :, 0, 0, 0, 0] = [0.5, 0.5, 0.6, 0.6]
+    step = make_joint_train_step(YOLOV2_ANCHORS, LossConfig(),
+                                 JointConfig())
+
+    def run(mesh_cfg):
+        mesh = make_mesh(mesh_cfg)
+        tp_vars = shard_variables(mesh, copy.deepcopy(variables),
+                                  min_params=1 << 8)
+        state = TrainState.create(model.apply, tp_vars,
+                                  make_optimizer(1e-3))
+        new_state, metrics = step(state, shard_batch(mesh, batch))
+        return float(metrics['loss']), new_state
+
+    loss_dp, _ = run(MeshConfig())                       # 8x1
+    loss_tp, st = run(MeshConfig(model_parallel=2))      # 4x2
+    assert np.isfinite(loss_tp)
+    np.testing.assert_allclose(loss_tp, loss_dp, rtol=1e-4)
+    # Params updated under TP stay sharded over 'model'.
+    kern = st.params['tconv_lstm']['input_proj']['kernel']
+    assert 'model' in getattr(kern.sharding, 'spec', ())
 
 
 def test_context_parallel_scan_halo_shape(rng):
