@@ -124,3 +124,61 @@ def evaluate_mot(gt_frames: Sequence[Dict[int, np.ndarray]],
     motp = iou_sum / max(matches, 1)
     return {'mota': mota, 'motp': motp, 'fp': fp, 'fn': fn,
             'id_switches': idsw, 'num_gt': num_gt, 'matches': matches}
+
+
+def evaluate_tracking_dataset(predictor, annotations,
+                              window: int = 4,
+                              iou_threshold: float = 0.5
+                              ) -> Dict[str, Dict[str, float]]:
+    """End-to-end CLEAR-MOT over an annotated dataset.
+
+    Groups `annotations` (data.voc.Annotation, trackids retained) by
+    video (`folder`), streams each video through
+    `predictor.predict_video`, converts predictions to pixel xyxy, and
+    aggregates per-video CLEAR-MOT into an 'overall' entry. This is the
+    benchmark harness the reference lists as an unchecked TODO
+    (/root/reference/README.md:61).
+    """
+    videos: Dict[str, list] = {}
+    for ann in annotations:
+        videos.setdefault(ann.folder, []).append(ann)
+
+    results: Dict[str, Dict[str, float]] = {}
+    totals = {'fp': 0, 'fn': 0, 'id_switches': 0, 'num_gt': 0,
+              'matches': 0}
+    iou_weighted = 0.0
+    for name, anns in sorted(videos.items()):
+        anns = sorted(anns, key=lambda a: a.filename)
+        n = (len(anns) // window) * window
+        if n == 0:
+            continue
+        anns = anns[:n]
+        preds = predictor.predict_video([a.filename for a in anns],
+                                        window=window)
+        gt_frames, pred_frames = [], []
+        for ann, dets in zip(anns, preds):
+            gt_frames.append({
+                obj.trackid if obj.trackid >= 0 else i:
+                    np.asarray(obj.box_xyxy, np.float32)
+                for i, obj in enumerate(ann.objects)})
+            frame = {}
+            for d in dets:
+                cx, cy, w, h = d['box']
+                frame[d['track_id']] = np.asarray(
+                    [(cx - w / 2) * ann.width, (cy - h / 2) * ann.height,
+                     (cx + w / 2) * ann.width, (cy + h / 2) * ann.height],
+                    np.float32)
+            pred_frames.append(frame)
+        m = evaluate_mot(gt_frames, pred_frames, iou_threshold)
+        results[name] = m
+        for k in totals:
+            totals[k] += m[k]
+        iou_weighted += m['motp'] * m['matches']
+
+    overall = dict(totals)
+    overall['mota'] = 1.0 - (
+        (totals['fn'] + totals['fp'] + totals['id_switches'])
+        / max(totals['num_gt'], 1))
+    overall['motp'] = iou_weighted / max(totals['matches'], 1)
+    results['overall'] = overall
+    return results

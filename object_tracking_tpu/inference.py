@@ -46,14 +46,22 @@ class JointPredictor:
         self.head = head
         self.net_h, self.net_w = net_size
         self.tracks = TrackManager(iou_threshold=iou_threshold)
+        self._state = None                  # carried ConvLSTM (c, h)
 
         @jax.jit
-        def _run(variables, images):
-            out = self.model.apply(variables, images, train=False)
+        def _run(variables, images, state):
+            out = self.model.apply(variables, images, train=False,
+                                   initial_state=state,
+                                   return_state=True)
             netout = out[head][0]            # (T, GH, GW, A, 5+C)
-            return jax.vmap(lambda n: decode_and_nms(
+            dets = jax.vmap(lambda n: decode_and_nms(
                 n, self.anchors, obj_threshold=obj_threshold,
                 nms_threshold=nms_threshold))(netout)
+            # f32 carry keeps the jit signature stable across windows
+            # whatever the model's compute dtype.
+            state = jax.tree_util.tree_map(
+                lambda s: s.astype(jnp.float32), out['state'])
+            return dets, state
 
         self._run = _run
 
@@ -78,7 +86,14 @@ class JointPredictor:
             x = self._load_window(frames)
         else:
             x = np.asarray(frames, np.float32)[None]
-        boxes, labels, scores, valid = self._run(self.variables, x)
+        if self._state is None:
+            b = x.shape[0]
+            gh, gw = self.net_h // 32, self.net_w // 32
+            feats = self.model.convlstm_features
+            zeros = jnp.zeros((b, gh, gw, feats), jnp.float32)
+            self._state = (zeros, zeros)
+        (boxes, labels, scores, valid), self._state = self._run(
+            self.variables, x, self._state)
         out = []
         for t in range(x.shape[1]):
             dets = boxes_to_list(boxes[t], labels[t], scores[t],
@@ -96,9 +111,12 @@ class JointPredictor:
     def predict_video(self, paths: Sequence[str], window: int = 4,
                       draw_dir: Optional[str] = None
                       ) -> List[List[dict]]:
-        """Stride through a full clip in windows; track IDs persist
-        across windows via the TrackManager carry."""
+        """Stride through a full clip in windows. Track IDs persist via
+        the TrackManager carry AND the ConvLSTM state streams across
+        window boundaries (the reference restarts its recurrent state
+        every window, MultiObjDetTracker.py:295-315)."""
         self.tracks.reset()
+        self._state = None
         results: List[List[dict]] = []
         for start in range(0, len(paths) - window + 1, window):
             chunk = paths[start:start + window]

@@ -30,21 +30,38 @@ from object_tracking_tpu.models.darknet19 import Darknet19
 
 
 class MultiObjDetTracker(nn.Module):
+    """Attributes beyond the reference's constants:
+      remat: rematerialize the per-frame detector in the backward pass
+        (jax.checkpoint) — trades FLOPs for HBM so clip length T can grow
+        well past the reference's 4 without activation-memory blowup.
+    """
     num_classes: int = 12     # MOT17 label set (MultiObjDetTracker.py:82)
     num_anchors: int = 5
     convlstm_features: int = 512
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray, train: bool = False):
+    def __call__(self, images: jnp.ndarray, train: bool = False,
+                 initial_state=None, return_state: bool = False):
         """images (B, T, H, W, 3) in [0, 1] →
-        {'detect': (B, T, GH, GW, A, 5+C), 'track': same}."""
+        {'detect': (B, T, GH, GW, A, 5+C), 'track': same
+         [, 'state': final ConvLSTM (c, h) when return_state]}.
+
+        `initial_state`/`return_state` carry the ConvLSTM state across
+        clip windows — streaming inference over unbounded video, which
+        the reference's restart-every-window predict cannot do
+        (MultiObjDetTracker.py:295-315).
+        """
         b, t, h, w, c = images.shape
         flat = images.reshape(b * t, h, w, c)
 
-        det = Darknet19(num_classes=self.num_classes,
-                        num_anchors=self.num_anchors,
-                        dtype=self.dtype, name='detector')(flat, train)
+        # static_argnums=(2,): the `train` flag (0 = self, 1 = images).
+        detector_cls = (nn.remat(Darknet19, static_argnums=(2,))
+                        if self.remat else Darknet19)
+        det = detector_cls(num_classes=self.num_classes,
+                           num_anchors=self.num_anchors,
+                           dtype=self.dtype, name='detector')(flat, train)
         gh, gw = det['netout'].shape[1:3]
         out_ch = self.num_anchors * (5 + self.num_classes)
 
@@ -61,12 +78,20 @@ class MultiObjDetTracker(nn.Module):
         # Split-projection ConvLSTM: input conv MXU-batched over B·T, only
         # the recurrent conv + fused gates stay in the sequential scan
         # (models/convlstm.py; Keras ConvLSTM2D equivalent).
-        z = FusedConvLSTM(self.convlstm_features, (3, 3),
-                          dtype=self.dtype, name='tconv_lstm')(z)
+        lstm = FusedConvLSTM(self.convlstm_features, (3, 3),
+                             dtype=self.dtype, name='tconv_lstm')
+        if return_state:
+            z, state = lstm(z, initial_state=initial_state,
+                            return_state=True)
+        else:
+            z = lstm(z, initial_state=initial_state)
 
         z = nn.Conv(out_ch, (1, 1), padding='SAME', dtype=self.dtype,
                     kernel_init=nn.initializers.lecun_normal(),
                     name='tconv_2')(z)
         track = z.reshape(b, t, gh, gw, self.num_anchors,
                           5 + self.num_classes).astype(jnp.float32)
-        return {'track': track, 'detect': detect}
+        out = {'track': track, 'detect': detect}
+        if return_state:
+            out['state'] = state
+        return out

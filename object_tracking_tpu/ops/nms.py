@@ -90,7 +90,7 @@ def _nms_all_classes_matmul(scores: jnp.ndarray, iou: jnp.ndarray,
 def greedy_nms_scores(boxes: jnp.ndarray, scores: jnp.ndarray,
                       nms_threshold: float = 0.45,
                       top_k: int = 128,
-                      impl: str = 'matmul'
+                      impl: str = 'auto'
                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-class greedy NMS on a fixed-size candidate set.
 
@@ -99,8 +99,10 @@ def greedy_nms_scores(boxes: jnp.ndarray, scores: jnp.ndarray,
       scores: (N, C) per-class scores, already thresholded (zeros = dead).
       nms_threshold: IoU at or above which a box suppresses lower-ranked.
       top_k: candidate cap; 0 / >= N means exact full-N NMS.
-      impl: 'matmul' (one-hot row-select, MXU-friendly, default) or
-        'sort' (per-class rank walk). Identical results.
+      impl: 'auto' (Pallas VMEM kernel on TPU — measured 1.6x the jax
+        formulations, benchmarks/micro.py — jax elsewhere), 'pallas',
+        'matmul' (one-hot row-select, MXU), or 'sort' (per-class rank
+        walk). Identical results.
 
     Returns:
       (kept_boxes (K, 4), kept_scores (K, C)) where K = min(top_k, N):
@@ -112,6 +114,12 @@ def greedy_nms_scores(boxes: jnp.ndarray, scores: jnp.ndarray,
         _, idx = jax.lax.top_k(best, top_k)
         boxes = boxes[idx]
         scores = scores[idx]
+    if impl == 'auto':
+        impl = ('pallas' if jax.default_backend() in ('tpu', 'axon')
+                else 'sort')
+    if impl == 'pallas':
+        from object_tracking_tpu.ops.pallas import nms_scores_pallas
+        return boxes, nms_scores_pallas(boxes, scores, nms_threshold)
     iou = pairwise_iou_center(boxes, boxes)
     if impl == 'matmul':
         new_scores = _nms_all_classes_matmul(scores, iou, nms_threshold)

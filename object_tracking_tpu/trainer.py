@@ -302,6 +302,64 @@ def keras_yolo_obj_detection(cfg, *, images=(), out_dir: str = '.',
 
 
 # --------------------------------------------------------------------------
+# Flow 4: tracking evaluation (the benchmark the reference README lists as
+# an unchecked TODO, /root/reference/README.md:61)
+# --------------------------------------------------------------------------
+def evaluate_tracking(cfg, *, synthetic: bool = False,
+                      checkpoint_dir: Optional[str] = None,
+                      window: Optional[int] = None,
+                      workdir: Optional[str] = None) -> dict:
+    """CLEAR-MOT over the val split with a (restored) joint model."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+
+    from object_tracking_tpu.data import parse_annotation_dir
+    from object_tracking_tpu.evaluation import evaluate_tracking_dataset
+    from object_tracking_tpu.inference import JointPredictor
+    from object_tracking_tpu.models import MultiObjDetTracker
+    from object_tracking_tpu.training import (
+        CheckpointManager, TrainState, make_optimizer)
+
+    labels = cfg.joint.labels
+    size = cfg.detector.image_h
+    if synthetic:
+        labels = ('1', '2')
+        cfg = _synthetic_dirs(cfg, (size, size), labels)
+
+    model = MultiObjDetTracker(
+        num_classes=len(labels), num_anchors=cfg.detector.num_anchors,
+        convlstm_features=cfg.joint.convlstm_features)
+    t = window or cfg.joint.sequence_length
+    variables = model.init(
+        jax.random.PRNGKey(cfg.train.seed),
+        jnp.zeros((1, t, size, size, 3)))
+    if checkpoint_dir:
+        state = TrainState.create(model.apply, variables,
+                                  make_optimizer(1e-4))
+        ckpts = CheckpointManager(checkpoint_dir)
+        state, at = ckpts.restore(state)
+        ckpts.close()
+        if at:
+            print(f'restored checkpoint step {at}')
+            variables = state.variables
+
+    predictor = JointPredictor(
+        model, variables, cfg.detector.anchors, labels,
+        obj_threshold=cfg.detector.obj_threshold,
+        nms_threshold=cfg.detector.nms_threshold,
+        net_size=(size, size))
+    anns, _ = parse_annotation_dir(cfg.train.val_annot_folder,
+                                   cfg.train.val_image_folder, labels)
+    results = evaluate_tracking_dataset(predictor, anns, window=t)
+    print(_json.dumps(
+        {k: {m: round(float(v), 4) for m, v in r.items()}
+         for k, r in results.items()}, indent=2))
+    return results
+
+
+# --------------------------------------------------------------------------
 def _load_cfg(args):
     from object_tracking_tpu.config import Config, load_config
     cfg = load_config(args.config) if args.config else Config()
@@ -336,6 +394,11 @@ def main(argv=None) -> int:
     pd.add_argument('--synthetic', action='store_true')
     pd.add_argument('--epochs', type=int)
 
+    pe = sub.add_parser('eval', help='CLEAR-MOT tracking evaluation')
+    pe.add_argument('--synthetic', action='store_true')
+    pe.add_argument('--checkpoint-dir')
+    pe.add_argument('--window', type=int)
+
     args = p.parse_args(argv)
     cfg = _load_cfg(args)
 
@@ -353,6 +416,10 @@ def main(argv=None) -> int:
                                  out_dir=args.out_dir, train=args.train,
                                  synthetic=args.synthetic,
                                  epochs=args.epochs)
+    elif args.cmd == 'eval':
+        evaluate_tracking(cfg, synthetic=args.synthetic,
+                          checkpoint_dir=args.checkpoint_dir,
+                          window=args.window)
     return 0
 
 

@@ -1,0 +1,78 @@
+"""Dataset-level CLEAR-MOT harness: perfect predictor → MOTA 1.0;
+noisy/missing predictions degrade it sanely. Uses a stub predictor so the
+harness is tested independently of model quality."""
+
+import numpy as np
+
+from object_tracking_tpu.data.voc import Annotation, ObjectAnnotation
+from object_tracking_tpu.evaluation import evaluate_tracking_dataset
+
+
+def _make_annotations(n_frames=8, n_videos=2):
+    anns = []
+    for v in range(n_videos):
+        for f in range(n_frames):
+            objs = [
+                ObjectAnnotation('a', 10 + f, 20, 30 + f, 60,
+                                 trackid=1),
+                ObjectAnnotation('a', 50, 50 + f, 90, 90 + f,
+                                 trackid=2),
+            ]
+            anns.append(Annotation(
+                filename=f'/v{v}/{f:04d}.jpg', folder=f'v{v}',
+                width=100, height=100, objects=objs))
+    return anns
+
+
+class PerfectPredictor:
+    """Echoes ground truth as predictions with stable track ids."""
+
+    def __init__(self, annotations):
+        self.by_path = {a.filename: a for a in annotations}
+
+    def predict_video(self, paths, window=4):
+        out = []
+        for p in paths:
+            ann = self.by_path[p]
+            dets = []
+            for obj in ann.objects:
+                cx = (obj.xmin + obj.xmax) / 2 / ann.width
+                cy = (obj.ymin + obj.ymax) / 2 / ann.height
+                w = (obj.xmax - obj.xmin) / ann.width
+                h = (obj.ymax - obj.ymin) / ann.height
+                dets.append({'label': obj.label, 'score': 0.9,
+                             'box': (cx, cy, w, h),
+                             'track_id': obj.trackid})
+            out.append(dets)
+        return out
+
+
+class EmptyPredictor:
+    def predict_video(self, paths, window=4):
+        return [[] for _ in paths]
+
+
+def test_perfect_predictions_give_mota_one():
+    anns = _make_annotations()
+    res = evaluate_tracking_dataset(PerfectPredictor(anns), anns,
+                                    window=4)
+    assert set(res) == {'v0', 'v1', 'overall'}
+    assert res['overall']['mota'] == 1.0
+    assert res['overall']['motp'] > 0.99
+    assert res['overall']['fp'] == 0
+    assert res['overall']['fn'] == 0
+    assert res['overall']['id_switches'] == 0
+
+
+def test_empty_predictions_give_zero_mota():
+    anns = _make_annotations()
+    res = evaluate_tracking_dataset(EmptyPredictor(), anns, window=4)
+    assert res['overall']['mota'] == 0.0          # all FN, no FP
+    assert res['overall']['fn'] == res['overall']['num_gt']
+
+
+def test_partial_window_frames_dropped():
+    anns = _make_annotations(n_frames=7, n_videos=1)   # 7 % 4 → eval 4
+    res = evaluate_tracking_dataset(PerfectPredictor(anns), anns,
+                                    window=4)
+    assert res['overall']['num_gt'] == 2 * 4
