@@ -131,6 +131,12 @@ class JointConfig:
     convlstm_features: int = 512  # MultiObjDetTracker.py:176
     loss_weight_track: float = 0.7   # MultiObjDetTracker.py:278
     loss_weight_detect: float = 0.3
+    # 'bfloat16' activations keep convs on the MXU fast path (params and
+    # losses stay float32); 'float32' for parity debugging.
+    compute_dtype: str = 'float32'
+    # Rematerialize the per-frame detector in backward (jax.checkpoint):
+    # HBM-for-FLOPs so sequence_length can grow far past 4.
+    remat: bool = False
 
 
 @dataclass

@@ -189,7 +189,8 @@ def simult_multi_obj_detection_tracking(cfg, *, synthetic: bool = False,
 
     model = MultiObjDetTracker(
         num_classes=len(labels), num_anchors=cfg.detector.num_anchors,
-        convlstm_features=cfg.joint.convlstm_features)
+        convlstm_features=cfg.joint.convlstm_features,
+        dtype=jnp.dtype(cfg.joint.compute_dtype), remat=cfg.joint.remat)
     t = cfg.joint.sequence_length
     variables = model.init(
         jax.random.PRNGKey(cfg.train.seed),

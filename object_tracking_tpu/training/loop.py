@@ -27,6 +27,43 @@ def _mean_metrics(history):
     return {k: float(np.mean([float(h[k]) for h in history])) for k in keys}
 
 
+def _prefetch(make_iter, depth: int):
+    """Run the batch pipeline (host decode + device_put) in a background
+    thread, `depth` batches ahead of the consumer — the framework-native
+    replacement for Keras fit_generator's worker queue
+    (reference BaseTracker.py:112 max_queue_size=3). The C decode path
+    releases the GIL, so prep genuinely overlaps the device step even on
+    one host core. depth <= 0 disables."""
+    if depth <= 0:
+        yield from make_iter()
+        return
+    import queue
+    import threading
+    q: 'queue.Queue' = queue.Queue(maxsize=depth)
+    sentinel = object()
+    failure = []
+
+    def worker():
+        try:
+            for item in make_iter():
+                q.put(item)
+        except BaseException as e:          # re-raised on the main thread
+            failure.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            t.join()
+            if failure:
+                raise failure[0]
+            return
+        yield item
+
+
 def fit(state,
         train_step: Callable,
         train_batches: Callable[[], Iterable],
@@ -41,6 +78,7 @@ def fit(state,
         early_stopping: Optional[EarlyStopping] = None,
         reduce_lr: Optional[ReduceLROnPlateau] = None,
         log_every_steps: int = 10,
+        prefetch: int = 2,
         on_epoch_end: Optional[Callable] = None):
     """Run the training loop; returns the final TrainState.
 
@@ -58,8 +96,9 @@ def fit(state,
     for epoch in range(initial_epoch, epochs):
         t0 = time.time()
         train_hist = []
-        for batch in train_batches():
-            state, metrics = train_step(state, shard(batch))
+        for batch in _prefetch(
+                lambda: (shard(b) for b in train_batches()), prefetch):
+            state, metrics = train_step(state, batch)
             step_count += 1
             if logger and step_count % log_every_steps == 0:
                 logger.log(step_count,
@@ -70,7 +109,8 @@ def fit(state,
 
         val_metrics = {}
         if eval_step is not None and val_batches is not None:
-            val_hist = [eval_step(state, shard(b)) for b in val_batches()]
+            val_hist = [eval_step(state, b) for b in _prefetch(
+                lambda: (shard(b) for b in val_batches()), prefetch)]
             val_metrics = _mean_metrics(val_hist)
             if logger:
                 logger.log(step_count, val_metrics, prefix='val')
