@@ -38,7 +38,12 @@ class JointPredictor:
                  head: str = 'track',        # reference uses the tracking
                                              # head output (:307)
                  iou_threshold: float = 0.5,
-                 net_size: Tuple[int, int] = (416, 416)):
+                 net_size: Tuple[int, int] = (416, 416),
+                 bn_mode: str = 'batch'):    # 'batch' = reference parity
+                                             # (K.set_learning_phase(1)
+                                             # keeps BN on batch stats at
+                                             # predict time too);
+                                             # 'running' = EMA stats
         self.model = model
         self.variables = variables
         self.anchors = jnp.asarray(anchors, jnp.float32)
@@ -48,11 +53,17 @@ class JointPredictor:
         self.tracks = TrackManager(iou_threshold=iou_threshold)
         self._state = None                  # carried ConvLSTM (c, h)
 
+        batch_bn = bn_mode == 'batch'
+
         @jax.jit
         def _run(variables, images, state):
-            out = self.model.apply(variables, images, train=False,
+            out = self.model.apply(variables, images, train=batch_bn,
                                    initial_state=state,
-                                   return_state=True)
+                                   return_state=True,
+                                   mutable=['batch_stats']
+                                   if batch_bn else False)
+            if batch_bn:
+                out, _ = out            # discard stat updates
             netout = out[head][0]            # (T, GH, GW, A, 5+C)
             dets = jax.vmap(lambda n: decode_and_nms(
                 n, self.anchors, obj_threshold=obj_threshold,

@@ -4,8 +4,9 @@ Semantics match the Keras callbacks the reference relies on as its only
 quality signal (SURVEY.md §4):
 - EarlyStopping(monitor=val_loss, patience=10)
   (/root/reference/models_tracking/BaseTracker.py:82-86)
-- ReduceLROnPlateau(factor=0.5, patience=5|2, min_lr, epsilon=0.01|1e-5)
-  (BaseTracker.py:88-94, MultiObjDetTracker.py:261-266)
+- ReduceLROnPlateau(factor=0.5, patience=5|2, min_lr, epsilon=1e-4)
+  (BaseTracker.py:88-94 sets epsilon=1e-4 explicitly;
+  MultiObjDetTracker.py:261-266 takes the Keras default, also 1e-4)
 """
 
 from __future__ import annotations
@@ -32,7 +33,7 @@ class EarlyStopping:
 
 class ReduceLROnPlateau:
     def __init__(self, factor: float = 0.5, patience: int = 5,
-                 min_lr: float = 1e-5, min_delta: float = 1e-2):
+                 min_lr: float = 1e-5, min_delta: float = 1e-4):
         self.factor = factor
         self.patience = patience
         self.min_lr = min_lr

@@ -48,6 +48,11 @@ def _yolo_loss_bt(netout, batch, anchors, loss_cfg: LossConfig, step):
 def _joint_loss(variables, apply_fn, batch, anchors,
                 loss_cfg: LossConfig, joint_cfg: JointConfig,
                 step, train: bool):
+    # train=True also covers batch-stat evaluation (updates discarded by
+    # the eval step): the reference keeps BatchNorm in training mode
+    # globally via K.set_learning_phase(1) (KerasYOLO.py:9,
+    # MultiObjDetTracker.py:10), so its val_loss and predictions use
+    # batch statistics, never the running averages.
     mutable = ['batch_stats'] if train else False
     out = apply_fn(variables, batch['images'], train=train,
                    mutable=mutable)
@@ -88,8 +93,13 @@ def make_joint_train_step(anchors, loss_cfg: Optional[LossConfig] = None,
 
 
 def make_joint_eval_step(anchors, loss_cfg: Optional[LossConfig] = None,
-                         joint_cfg: Optional[JointConfig] = None
-                         ) -> Callable:
+                         joint_cfg: Optional[JointConfig] = None,
+                         use_batch_stats: bool = True) -> Callable:
+    """Eval step. `use_batch_stats=True` (default) evaluates with batch
+    statistics — reference parity (K.set_learning_phase(1) keeps BN in
+    training mode for val_loss too) and the stable choice early in
+    training, before the running averages have converged; stat updates
+    are discarded. False uses the running averages."""
     loss_cfg = loss_cfg or LossConfig()
     joint_cfg = joint_cfg or JointConfig()
     anchors = jnp.asarray(anchors, jnp.float32)
@@ -98,7 +108,7 @@ def make_joint_eval_step(anchors, loss_cfg: Optional[LossConfig] = None,
     def step(state, batch):
         _, (metrics, _) = _joint_loss(
             state.variables, state.apply_fn, batch, anchors, loss_cfg,
-            joint_cfg, state.step, train=False)
+            joint_cfg, state.step, train=use_batch_stats)
         return metrics
 
     return step
