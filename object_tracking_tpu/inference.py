@@ -111,7 +111,9 @@ class JointPredictor:
                                  valid[t])
             det_boxes = np.asarray([d[2] for d in dets], np.float32) \
                 if dets else np.zeros((0, 4), np.float32)
-            ids = self.tracks.update(det_boxes)
+            det_labels = np.asarray([d[0] for d in dets], np.int32) \
+                if dets else np.zeros((0,), np.int32)
+            ids = self.tracks.update(det_boxes, labels=det_labels)
             out.append([
                 {'label': self.labels[l] if l < len(self.labels)
                  else str(l),

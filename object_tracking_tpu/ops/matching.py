@@ -63,15 +63,25 @@ def greedy_match(boxes_a: jnp.ndarray, valid_a: jnp.ndarray,
 
 
 def hungarian_match(boxes_a: np.ndarray, boxes_b: np.ndarray,
-                    iou_threshold: float = 0.5
+                    iou_threshold: float = 0.5,
+                    labels_a: Optional[np.ndarray] = None,
+                    labels_b: Optional[np.ndarray] = None
                     ) -> List[Tuple[int, int]]:
-    """Optimal IoU assignment (host, scipy). Returns [(i_a, i_b), ...]."""
+    """Optimal IoU assignment (host, scipy). Returns [(i_a, i_b), ...].
+
+    When labels are given, cross-class pairs are excluded (their IoU is
+    forced below any threshold), so a detection can only extend a track
+    of its own class.
+    """
     if len(boxes_a) == 0 or len(boxes_b) == 0:
         return []
     from scipy.optimize import linear_sum_assignment
     iou = np.asarray(pairwise_iou_center(
         jnp.asarray(boxes_a, jnp.float32),
         jnp.asarray(boxes_b, jnp.float32)))
+    if labels_a is not None and labels_b is not None:
+        same = np.asarray(labels_a)[:, None] == np.asarray(labels_b)[None, :]
+        iou = np.where(same, iou, -1.0)
     rows, cols = linear_sum_assignment(-iou)
     return [(int(r), int(c)) for r, c in zip(rows, cols)
             if iou[r, c] >= iou_threshold]
@@ -90,20 +100,34 @@ class TrackManager:
         self.max_age = max_age
         self._next_id = 0
         self._tracks: Dict[int, np.ndarray] = {}     # id → last box
+        self._labels: Dict[int, int] = {}            # id → class id
         self._age: Dict[int, int] = {}
 
     def reset(self) -> None:
         self._next_id = 0
         self._tracks.clear()
+        self._labels.clear()
         self._age.clear()
 
     def update(self, boxes: np.ndarray,
                labels: Optional[np.ndarray] = None) -> List[int]:
-        """boxes (M, 4) center-format → per-detection track ids."""
+        """boxes (M, 4) center-format → per-detection track ids.
+
+        When `labels` (M,) class ids are given, matching is class-aware:
+        a detection never continues a track of a different class.
+        """
         ids = list(self._tracks.keys())
         prev = np.stack([self._tracks[i] for i in ids]) if ids else \
             np.zeros((0, 4), np.float32)
-        pairs = hungarian_match(prev, boxes, self.iou_threshold)
+        prev_labels = None
+        if labels is not None and ids:
+            prev_labels = np.asarray(
+                [self._labels.get(i, -1) for i in ids])
+        pairs = hungarian_match(
+            prev, boxes, self.iou_threshold,
+            labels_a=prev_labels,
+            labels_b=np.asarray(labels) if labels is not None and ids
+            else None)
         matched_b = {b: ids[a] for a, b in pairs}
         out = []
         seen = set()
@@ -116,10 +140,13 @@ class TrackManager:
             out.append(tid)
             seen.add(tid)
             self._tracks[tid] = np.asarray(boxes[j], np.float32)
+            if labels is not None:
+                self._labels[tid] = int(np.asarray(labels)[j])
             self._age[tid] = 0
         for tid in list(self._tracks):
             if tid not in seen:
                 self._age[tid] += 1
                 if self._age[tid] > self.max_age:
                     del self._tracks[tid], self._age[tid]
+                    self._labels.pop(tid, None)
         return out

@@ -61,6 +61,31 @@ def test_track_manager_identity_persistence():
     assert ids4 == [2]
 
 
+def test_track_manager_label_aware():
+    # Same spot, different class → must NOT continue the track.
+    tm = TrackManager(iou_threshold=0.3, max_age=5)
+    box = np.asarray([[0.5, 0.5, 0.2, 0.2]], np.float32)
+    ids1 = tm.update(box, labels=np.asarray([0]))
+    ids2 = tm.update(box, labels=np.asarray([1]))
+    assert ids1 == [0] and ids2 == [1]
+    # Same class again → continues the original track.
+    ids3 = tm.update(box, labels=np.asarray([0]))
+    assert ids3 == [0]
+
+
+def test_hungarian_match_label_mask():
+    a = np.asarray([[0.5, 0.5, 0.2, 0.2], [0.52, 0.5, 0.2, 0.2]],
+                   np.float32)
+    b = np.asarray([[0.5, 0.5, 0.2, 0.2]], np.float32)
+    # Without labels the perfectly-overlapping pair (0,0) wins.
+    assert dict(hungarian_match(a, b, 0.3)) == {0: 0}
+    # With labels, only the class-1 track may match.
+    pairs = hungarian_match(a, b, 0.3,
+                            labels_a=np.asarray([0, 1]),
+                            labels_b=np.asarray([1]))
+    assert dict(pairs) == {1: 0}
+
+
 # ----------------------------------------------------------------- eval
 def test_overlap_score_matches_hand_computed():
     assert overlap_score([0, 0, 10, 10], [0, 0, 10, 10]) == 1.0
