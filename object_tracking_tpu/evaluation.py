@@ -126,6 +126,92 @@ def evaluate_mot(gt_frames: Sequence[Dict[int, np.ndarray]],
             'id_switches': idsw, 'num_gt': num_gt, 'matches': matches}
 
 
+def _pairwise_iou_corner(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(N, 4) x (M, 4) corner-format IoU matrix."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float64)
+    return _iou_corner_np(a[:, None, :].astype(np.float64),
+                          b[None, :, :].astype(np.float64))
+
+
+def average_precision(recall: np.ndarray, precision: np.ndarray) -> float:
+    """Area under the monotone precision envelope (VOC2010+ AP)."""
+    r = np.concatenate([[0.0], recall, [1.0]])
+    p = np.concatenate([[0.0], precision, [0.0]])
+    # Monotone non-increasing envelope, right to left.
+    p = np.maximum.accumulate(p[::-1])[::-1]
+    idx = np.where(r[1:] != r[:-1])[0]
+    return float(np.sum((r[idx + 1] - r[idx]) * p[idx + 1]))
+
+
+def evaluate_detection(gt_frames: Sequence[Dict[str, np.ndarray]],
+                       pred_frames: Sequence[Dict[str, np.ndarray]],
+                       iou_threshold: float = 0.5
+                       ) -> Dict[str, object]:
+    """PASCAL-VOC detection mAP over a dataset.
+
+    The reference has no detection metric at all (README.md:61 lists
+    benchmarking as an unchecked TODO); this supplies the standard one
+    for its detector family.
+
+    Args:
+      gt_frames: per image {'boxes': (M, 4) xyxy, 'labels': (M,) int}.
+      pred_frames: per image {'boxes': (N, 4) xyxy, 'scores': (N,),
+        'labels': (N,) int}.
+      iou_threshold: match threshold (VOC uses 0.5).
+
+    Returns:
+      {'map': float, 'ap_per_class': {class_id: ap},
+       'num_gt_per_class': {class_id: count}}.
+    """
+    classes = sorted({int(l) for f in gt_frames
+                      for l in np.asarray(f['labels']).reshape(-1)} |
+                     {int(l) for f in pred_frames
+                      for l in np.asarray(f['labels']).reshape(-1)})
+    ap_per_class: Dict[int, float] = {}
+    ngt_per_class: Dict[int, int] = {}
+    for c in classes:
+        # (score, image_idx, box) for every class-c detection.
+        dets = []
+        for i, f in enumerate(pred_frames):
+            labels = np.asarray(f['labels']).reshape(-1)
+            for j in np.where(labels == c)[0]:
+                dets.append((float(np.asarray(f['scores'])[j]), i,
+                             np.asarray(f['boxes'])[j]))
+        dets.sort(key=lambda d: -d[0])
+        gt_boxes = [np.asarray(f['boxes']).reshape(-1, 4)[
+            np.asarray(f['labels']).reshape(-1) == c]
+            for f in gt_frames]
+        ngt = int(sum(len(g) for g in gt_boxes))
+        ngt_per_class[c] = ngt
+        if ngt == 0:
+            # All detections of a class absent from GT are FPs; AP is 0
+            # if any exist, else the class contributes nothing.
+            if dets:
+                ap_per_class[c] = 0.0
+            continue
+        used = [np.zeros(len(g), bool) for g in gt_boxes]
+        tp = np.zeros(len(dets))
+        fp = np.zeros(len(dets))
+        for k, (_, i, box) in enumerate(dets):
+            iou = _pairwise_iou_corner(box[None], gt_boxes[i])[0]
+            best = int(np.argmax(iou)) if iou.size else -1
+            if best >= 0 and iou[best] >= iou_threshold \
+                    and not used[i][best]:
+                used[i][best] = True
+                tp[k] = 1
+            else:
+                fp[k] = 1
+        cum_tp, cum_fp = np.cumsum(tp), np.cumsum(fp)
+        recall = cum_tp / ngt
+        precision = cum_tp / np.maximum(cum_tp + cum_fp, 1e-12)
+        ap_per_class[c] = average_precision(recall, precision)
+    m = float(np.mean(list(ap_per_class.values()))) \
+        if ap_per_class else 0.0
+    return {'map': m, 'ap_per_class': ap_per_class,
+            'num_gt_per_class': ngt_per_class}
+
+
 def evaluate_tracking_dataset(predictor, annotations,
                               window: int = 4,
                               iou_threshold: float = 0.5
@@ -142,6 +228,11 @@ def evaluate_tracking_dataset(predictor, annotations,
     videos: Dict[str, list] = {}
     for ann in annotations:
         videos.setdefault(ann.folder, []).append(ann)
+
+    label_to_id = {name: i for i, name in
+                   enumerate(getattr(predictor, 'labels', ()))}
+    det_gt_frames: List[Dict[str, np.ndarray]] = []
+    det_pred_frames: List[Dict[str, np.ndarray]] = []
 
     results: Dict[str, Dict[str, float]] = {}
     totals = {'fp': 0, 'fn': 0, 'id_switches': 0, 'num_gt': 0,
@@ -161,14 +252,30 @@ def evaluate_tracking_dataset(predictor, annotations,
                 obj.trackid if obj.trackid >= 0 else i:
                     np.asarray(obj.box_xyxy, np.float32)
                 for i, obj in enumerate(ann.objects)})
+            det_gt_frames.append({
+                'boxes': np.asarray(
+                    [obj.box_xyxy for obj in ann.objects],
+                    np.float32).reshape(-1, 4),
+                'labels': np.asarray(
+                    [label_to_id.get(obj.label, -1)
+                     for obj in ann.objects], np.int32)})
             frame = {}
+            boxes_px, scores, labels_ids = [], [], []
             for d in dets:
                 cx, cy, w, h = d['box']
-                frame[d['track_id']] = np.asarray(
+                xyxy = np.asarray(
                     [(cx - w / 2) * ann.width, (cy - h / 2) * ann.height,
                      (cx + w / 2) * ann.width, (cy + h / 2) * ann.height],
                     np.float32)
+                frame[d['track_id']] = xyxy
+                boxes_px.append(xyxy)
+                scores.append(d['score'])
+                labels_ids.append(label_to_id.get(d['label'], -1))
             pred_frames.append(frame)
+            det_pred_frames.append({
+                'boxes': np.asarray(boxes_px, np.float32).reshape(-1, 4),
+                'scores': np.asarray(scores, np.float32),
+                'labels': np.asarray(labels_ids, np.int32)})
         m = evaluate_mot(gt_frames, pred_frames, iou_threshold)
         results[name] = m
         for k in totals:
@@ -180,5 +287,11 @@ def evaluate_tracking_dataset(predictor, annotations,
         (totals['fn'] + totals['fp'] + totals['id_switches'])
         / max(totals['num_gt'], 1))
     overall['motp'] = iou_weighted / max(totals['matches'], 1)
+    det = evaluate_detection(det_gt_frames, det_pred_frames,
+                             iou_threshold)
+    overall['map'] = det['map']
+    results['detection'] = {f'ap_{c}': v
+                            for c, v in det['ap_per_class'].items()}
+    results['detection']['map'] = det['map']
     results['overall'] = overall
     return results
