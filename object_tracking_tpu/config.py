@@ -88,6 +88,11 @@ class DetectorConfig:
     obj_threshold: float = 0.5    # KerasYOLO.py:43
     nms_threshold: float = 0.45   # KerasYOLO.py:44
     weights_path: Optional[str] = None  # darknet yolov2.weights (KerasYOLO.py:59)
+    # Optional darknet .cfg describing the detector graph. The reference
+    # feeds any cfg to the darknet C loader (config.json:4 → YOLO.py:128);
+    # here models/darknet_cfg.py compiles it to a flax module. When None,
+    # the hand-built Darknet-19/YOLOv2 module is used.
+    cfg_path: Optional[str] = None
     # Feature layer whose activations the single-object trackers consume.
     # The reference exposes darknet layer 25 (config.json:9); our detector
     # exposes named taps — 'conv_feat' is the Layer-22 activation the joint
@@ -225,6 +230,8 @@ class Config:
             cfg.detector.obj_threshold = float(md['thresh'])
         if 'weights_file' in md:
             cfg.detector.weights_path = md['weights_file']
+        if 'config_file' in md:
+            cfg.detector.cfg_path = md['config_file']
         mt = d.get('model_tracker', {})
         for src, dst in [('name', 'name'), ('lstm_units', 'lstm_units'),
                          ('sequence_length', 'sequence_length'),

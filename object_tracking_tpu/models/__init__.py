@@ -9,6 +9,10 @@ from object_tracking_tpu.models.multi_obj_det_tracker import (  # noqa: F401
     MultiObjDetTracker,
 )
 from object_tracking_tpu.models.yolov2 import YOLOv2Detector  # noqa: F401
+from object_tracking_tpu.models.darknet_cfg import (  # noqa: F401
+    CfgDetector, DarknetCfgNet, build_from_cfg, head_specs,
+    load_weights_for_cfg, parse_darknet_cfg,
+)
 from object_tracking_tpu.models.fake_detector import FakeDetector  # noqa: F401
 from object_tracking_tpu.models.vgg16 import (  # noqa: F401
     VGG16, VGG16PriorSource,
