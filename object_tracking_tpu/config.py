@@ -142,6 +142,13 @@ class JointConfig:
     # Rematerialize the per-frame detector in backward (jax.checkpoint):
     # HBM-for-FLOPs so sequence_length can grow far past 4.
     remat: bool = False
+    # > 0 uses the mixture-of-experts tracking head (models/moe_head.py;
+    # expert axis shards over the mesh `model` axis = expert parallelism).
+    moe_experts: int = 0
+    moe_hidden: int = 256
+    # Switch-style load-balancing auxiliary loss weight (only active when
+    # the MoE head is, i.e. the model sows 'moe_aux_loss').
+    moe_aux_weight: float = 0.01
 
 
 @dataclass

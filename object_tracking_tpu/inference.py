@@ -46,7 +46,10 @@ class JointPredictor:
                                              # 'running' = EMA stats
         self.model = model
         self.variables = variables
-        self.anchors = jnp.asarray(anchors, jnp.float32)
+        # Host-side on purpose: `_run` (jit) closes over this, and a
+        # device array would be fetched back for constant embedding —
+        # which the axon TPU backend rejects.
+        self.anchors = np.asarray(anchors, np.float32)
         self.labels = tuple(labels)
         self.head = head
         self.net_h, self.net_w = net_size

@@ -14,6 +14,7 @@ from object_tracking_tpu.models.darknet_cfg import (  # noqa: F401
     load_weights_for_cfg, parse_darknet_cfg,
 )
 from object_tracking_tpu.models.fake_detector import FakeDetector  # noqa: F401
+from object_tracking_tpu.models.moe_head import MoEGridHead  # noqa: F401
 from object_tracking_tpu.models.vgg16 import (  # noqa: F401
     VGG16, VGG16PriorSource,
 )

@@ -40,6 +40,11 @@ class MultiObjDetTracker(nn.Module):
     convlstm_features: int = 512
     dtype: Any = jnp.float32
     remat: bool = False
+    # > 0 swaps the dense 1x1 output conv for a per-grid-cell
+    # mixture-of-experts head (models/moe_head.py) whose expert-stacked
+    # parameters shard over the mesh `model` axis — expert parallelism.
+    moe_experts: int = 0
+    moe_hidden: int = 256
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False,
@@ -86,9 +91,16 @@ class MultiObjDetTracker(nn.Module):
         else:
             z = lstm(z, initial_state=initial_state)
 
-        z = nn.Conv(out_ch, (1, 1), padding='SAME', dtype=self.dtype,
-                    kernel_init=nn.initializers.lecun_normal(),
-                    name='tconv_2')(z)
+        if self.moe_experts:
+            from object_tracking_tpu.models.moe_head import MoEGridHead
+            z = MoEGridHead(num_experts=self.moe_experts,
+                            hidden=self.moe_hidden,
+                            out_features=out_ch, dtype=self.dtype,
+                            name='tconv_moe')(z)
+        else:
+            z = nn.Conv(out_ch, (1, 1), padding='SAME', dtype=self.dtype,
+                        kernel_init=nn.initializers.lecun_normal(),
+                        name='tconv_2')(z)
         track = z.reshape(b, t, gh, gw, self.num_anchors,
                           5 + self.num_classes).astype(jnp.float32)
         out = {'track': track, 'detect': detect}

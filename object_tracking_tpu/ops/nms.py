@@ -38,15 +38,25 @@ def _nms_one_class(scores_c: jnp.ndarray, iou: jnp.ndarray,
     rank = jnp.argsort(order)               # rank[i] = position of box i
     ranks = jnp.arange(k)
 
-    def body(pos, alive):
+    # Ranks walk in descending-score order, and zero-score boxes suppress
+    # nothing (utils.py:245) — so once the walk reaches the first
+    # zero-score rank, every later rank is a no-op too: stop there.
+    def cond(carry):
+        pos, _ = carry
+        i = order[jnp.minimum(pos, k - 1)]
+        return (pos < k) & (scores_c[i] > 0.0)
+
+    def body(carry):
+        pos, alive = carry
         i = order[pos]
         # Box i suppresses strictly lower-ranked boxes iff it is still
         # alive and actually scored (zeros suppress nothing, utils.py:245).
         active = alive[i] & (scores_c[i] > 0.0)
         suppress = (iou[i] >= nms_threshold) & (rank > pos)
-        return jnp.where(active, alive & ~suppress, alive)
+        return pos + 1, jnp.where(active, alive & ~suppress, alive)
 
-    alive = jax.lax.fori_loop(0, k, body, jnp.ones((k,), dtype=bool))
+    _, alive = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.ones((k,), dtype=bool)))
     return scores_c * alive
 
 
@@ -66,7 +76,15 @@ def _nms_all_classes_matmul(scores: jnp.ndarray, iou: jnp.ndarray,
     k, c = scores.shape
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, c), 0)
 
-    def body(_, carry):
+    # while_loop, not fori_loop: rounds where every class is exhausted
+    # are no-ops, so the walk stops as soon as no live, unprocessed,
+    # positive-score candidate remains — typically a handful of rounds
+    # after thresholding, not K. Exactly equal to running all K rounds.
+    def cond(carry):
+        alive, done = carry
+        return jnp.max(scores * alive * (1.0 - done)) > 0.0
+
+    def body(carry):
         alive, done = carry                       # (K, C) float 0/1
         cand = scores * alive * (1.0 - done)
         best = jnp.argmax(cand, axis=0)           # (C,)
@@ -81,7 +99,8 @@ def _nms_all_classes_matmul(scores: jnp.ndarray, iou: jnp.ndarray,
         return alive, done
 
     ones = jnp.ones((k, c), scores.dtype)
-    alive, _ = jax.lax.fori_loop(0, k, body, (ones, jnp.zeros_like(ones)))
+    alive, _ = jax.lax.while_loop(cond, body,
+                                  (ones, jnp.zeros_like(ones)))
     return scores * alive
 
 

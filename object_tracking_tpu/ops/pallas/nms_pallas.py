@@ -49,7 +49,16 @@ def _nms_kernel(boxes_ref, scores_ref, out_ref, *, nms_threshold: float):
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, c), 0)
 
-    def body(_, carry):
+    # Early exit: each round settles one box per class (pick or no-op),
+    # so the loop is done as soon as no class has a live, unprocessed,
+    # positive-score candidate — after thresholding that is typically a
+    # handful of rounds, not K. Extra rounds would be no-ops (active=0),
+    # so stopping is exact.
+    def cond(carry):
+        alive, done = carry
+        return jnp.max(scores * alive * (1.0 - done)) > 0.0
+
+    def body(carry):
         alive, done = carry
         cand = scores * alive * (1.0 - done)
         best = jnp.argmax(cand, axis=0)                       # (C,)
@@ -64,7 +73,8 @@ def _nms_kernel(boxes_ref, scores_ref, out_ref, *, nms_threshold: float):
         return alive, done
 
     ones = jnp.ones((k, c), scores.dtype)
-    alive, _ = jax.lax.fori_loop(0, k, body, (ones, jnp.zeros_like(ones)))
+    alive, _ = jax.lax.while_loop(cond, body,
+                                  (ones, jnp.zeros_like(ones)))
     out_ref[:] = scores * alive
 
 

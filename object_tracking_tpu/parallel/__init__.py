@@ -19,3 +19,9 @@ from object_tracking_tpu.parallel.context import (  # noqa: F401
 from object_tracking_tpu.parallel.sharding import (  # noqa: F401
     plan_tp_specs, shard_variables, tp_sharding_summary,
 )
+from object_tracking_tpu.parallel.pipeline import (  # noqa: F401
+    gpipe, pipeline_scan,
+)
+from object_tracking_tpu.parallel.expert import (  # noqa: F401
+    expert_parallel_moe, init_moe_params, moe_apply, moe_capacity,
+)

@@ -43,6 +43,12 @@ def plan_tp_specs(variables: Any, mesh: Mesh,
         shape = np.shape(leaf)
         if 'batch_stats' in path_str:
             return P()
+        # MoE expert-stacked parameters (leading axis = experts, see
+        # models/moe_head.py) shard their EXPERT axis — that is expert
+        # parallelism, and it beats channel-TP for them because routing
+        # already keeps each token's compute on one expert.
+        if '_moe' in path_str and len(shape) >= 2 and shape[0] % tp == 0:
+            return P(model_axis, *([None] * (len(shape) - 1)))
         if len(shape) >= 2 and shape[-1] % tp == 0 \
                 and int(np.prod(shape)) >= min_params:
             return P(*([None] * (len(shape) - 1)), model_axis)

@@ -21,6 +21,7 @@ from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from object_tracking_tpu.config import JointConfig, LossConfig
 from object_tracking_tpu.models.losses import (
@@ -53,19 +54,29 @@ def _joint_loss(variables, apply_fn, batch, anchors,
     # globally via K.set_learning_phase(1) (KerasYOLO.py:9,
     # MultiObjDetTracker.py:10), so its val_loss and predictions use
     # batch statistics, never the running averages.
-    mutable = ['batch_stats'] if train else False
-    out = apply_fn(variables, batch['images'], train=train,
-                   mutable=mutable)
-    out, updates = out if train else (out, {})
+    # 'intermediates' collects sown aux terms (the MoE head's Switch
+    # load-balancing loss); a no-op for models that sow nothing.
+    mutable = (['batch_stats', 'intermediates'] if train
+               else ['intermediates'])
+    out, updates = apply_fn(variables, batch['images'], train=train,
+                            mutable=mutable)
     t_loss, t_aux = _yolo_loss_bt(out['track'], batch, anchors,
                                   loss_cfg, step)
     d_loss, d_aux = _yolo_loss_bt(out['detect'], batch, anchors,
                                   loss_cfg, step)
     loss = (joint_cfg.loss_weight_track * t_loss
             + joint_cfg.loss_weight_detect * d_loss)
+    moe_aux = jnp.float32(0.0)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(
+            updates.get('intermediates', {})):
+        if any('moe_aux_loss' in str(getattr(p, 'key', p))
+               for p in path):
+            moe_aux = moe_aux + jnp.mean(leaf)
+    loss = loss + joint_cfg.moe_aux_weight * moe_aux
     metrics = {'loss': loss, 'track_loss': t_loss, 'detect_loss': d_loss,
                'track_recall': t_aux['recall'],
-               'detect_recall': d_aux['recall']}
+               'detect_recall': d_aux['recall'],
+               'moe_aux': moe_aux}
     return loss, (metrics, updates)
 
 
@@ -74,7 +85,10 @@ def make_joint_train_step(anchors, loss_cfg: Optional[LossConfig] = None,
                           ) -> Callable:
     loss_cfg = loss_cfg or LossConfig()
     joint_cfg = joint_cfg or JointConfig()
-    anchors = jnp.asarray(anchors, jnp.float32)
+    # Host-side on purpose: a device array closed over by jit is
+    # fetched back to host for constant embedding, which fails on
+    # the axon TPU backend (and wastes a transfer everywhere else).
+    anchors = np.asarray(anchors, np.float32)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch):
@@ -102,7 +116,10 @@ def make_joint_eval_step(anchors, loss_cfg: Optional[LossConfig] = None,
     are discarded. False uses the running averages."""
     loss_cfg = loss_cfg or LossConfig()
     joint_cfg = joint_cfg or JointConfig()
-    anchors = jnp.asarray(anchors, jnp.float32)
+    # Host-side on purpose: a device array closed over by jit is
+    # fetched back to host for constant embedding, which fails on
+    # the axon TPU backend (and wastes a transfer everywhere else).
+    anchors = np.asarray(anchors, np.float32)
 
     @jax.jit
     def step(state, batch):
@@ -121,7 +138,10 @@ def make_detector_train_step(anchors,
     KerasYOLO.train, KerasYOLO.py:441-507). Batch: images (B, H, W, 3),
     y_true (B, GH, GW, A, 5+C), true_boxes (B, 1, 1, 1, TB, 4)."""
     loss_cfg = loss_cfg or LossConfig()
-    anchors = jnp.asarray(anchors, jnp.float32)
+    # Host-side on purpose: a device array closed over by jit is
+    # fetched back to host for constant embedding, which fails on
+    # the axon TPU backend (and wastes a transfer everywhere else).
+    anchors = np.asarray(anchors, np.float32)
 
     def loss_fn(params, state, batch):
         out, updates = state.apply_fn(

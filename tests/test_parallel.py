@@ -156,3 +156,88 @@ def test_context_parallel_scan_halo_shape(rng):
     np.testing.assert_allclose(np.asarray(ys[:per]),
                                np.asarray(ys_ref[:per]), rtol=1e-5,
                                atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# pipeline parallelism (parallel/pipeline.py)
+# ---------------------------------------------------------------------------
+def _pipe_mesh():
+    """All devices on one 'model' (pipeline) axis."""
+    return make_mesh(MeshConfig(data_parallel=1,
+                                model_parallel=len(jax.devices())))
+
+
+def test_gpipe_matches_sequential_composition(rng):
+    from object_tracking_tpu.parallel import gpipe
+    mesh = _pipe_mesh()
+    s = mesh.shape['model']
+    m, d = 6, 8                                    # microbatches, width
+
+    def stage(params, x):
+        return jnp.tanh(x @ params['w'] + params['b'])
+
+    params = {
+        'w': jnp.asarray(rng.randn(s, d, d) * 0.3, jnp.float32),
+        'b': jnp.asarray(rng.randn(s, d) * 0.1, jnp.float32),
+    }
+    xs = jnp.asarray(rng.randn(m, 4, d), jnp.float32)
+
+    ys = gpipe(stage, params, xs, mesh, 'model')
+
+    ref = xs
+    for i in range(s):
+        ref = jax.vmap(lambda x: stage(
+            {'w': params['w'][i], 'b': params['b'][i]}, x))(ref)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_scan_stacked_recurrence_matches_sequential(rng):
+    """Wavefront stacked-RNN: stage s at timestep t-s must equal running
+    each recurrent layer over the full sequence in order."""
+    from object_tracking_tpu.parallel import pipeline_scan
+    mesh = _pipe_mesh()
+    s = mesh.shape['model']
+    t, d = 5, 4
+
+    def stage(params, carry, x):
+        carry = jnp.tanh(carry @ params['u'] + x @ params['w'])
+        return carry, carry + x * 0.1
+
+    params = {
+        'w': jnp.asarray(rng.randn(s, d, d) * 0.4, jnp.float32),
+        'u': jnp.asarray(rng.randn(s, d, d) * 0.4, jnp.float32),
+    }
+    carry0 = jnp.zeros((s, d), jnp.float32)
+    xs = jnp.asarray(rng.randn(t, d), jnp.float32)
+
+    ys = pipeline_scan(stage, params, xs, mesh, 'model',
+                       carry_init=carry0)
+
+    ref = xs
+    for i in range(s):
+        p = {'w': params['w'][i], 'u': params['u'][i]}
+        _, ref = jax.lax.scan(lambda c, x: stage(p, c, x),
+                              carry0[i], ref)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_scan_rejects_shape_changing_stage(rng):
+    from object_tracking_tpu.parallel import gpipe
+    mesh = _pipe_mesh()
+    s = mesh.shape['model']
+    params = {'w': jnp.zeros((s, 4, 5))}
+    xs = jnp.zeros((3, 4))
+    with pytest.raises(ValueError, match='must match'):
+        gpipe(lambda p, x: x @ p['w'], params, xs, mesh, 'model')
+
+
+def test_pipeline_scan_rejects_wrong_stage_count():
+    from object_tracking_tpu.parallel import gpipe
+    mesh = _pipe_mesh()
+    s = mesh.shape['model']
+    params = {'w': jnp.zeros((s + 1, 4, 4))}
+    with pytest.raises(ValueError, match='leading axis'):
+        gpipe(lambda p, x: x @ p['w'], params, jnp.zeros((3, 4)), mesh,
+              'model')
