@@ -1,0 +1,73 @@
+"""Quickstart: every reference workflow, end-to-end, on synthetic data.
+
+The reference is driven by editing `trainer.py`'s `__main__` and has no
+runnable demo (no datasets ship with it). This script runs all four
+flows hermetically — fabricated VOC-style video data, tiny model sizes —
+so a new user sees the full surface in one command:
+
+    python examples/quickstart.py            # CPU or TPU, ~minutes on TPU
+
+Flows (reference parity: /root/reference/trainer.py:8-30):
+  1. single_object_tracking      — TinyTracker over frozen detector priors
+  2. single (heatmap)            — TinyHeatmapTracker variant
+  3. simult_multi_obj_detection_tracking — joint YOLOv2+ConvLSTM training
+  4. keras_yolo_obj_detection    — standalone detector train + predict
+  5. evaluate_tracking           — CLEAR-MOT metrics over the val split
+
+For real data, point `Config.train.*_folder` at PASCAL-VOC XML dirs (use
+`data/converters.py` for MOT17/VisualTB) and raise the model sizes back
+to the defaults (`Config()` reproduces the reference's constants).
+"""
+
+import tempfile
+
+from object_tracking_tpu.config import Config
+from object_tracking_tpu.trainer import (
+    evaluate_tracking, keras_yolo_obj_detection, single_object_tracking,
+    simult_multi_obj_detection_tracking)
+
+
+def tiny_config() -> Config:
+    cfg = Config()
+    cfg.detector.image_h = cfg.detector.image_w = 64
+    cfg.detector.grid_h = cfg.detector.grid_w = 2
+    cfg.joint.convlstm_features = 16
+    cfg.joint.sequence_length = 3
+    cfg.tracker.sequence_length = 3
+    cfg.tracker.lstm_units = 32
+    cfg.train.batch_size = 2
+    cfg.train.augment = False
+    return cfg
+
+
+def main() -> None:
+    work = tempfile.mkdtemp(prefix='ott_quickstart_')
+    print(f'== workdir {work}')
+
+    print('== 1/5 single-object tracking (TinyTracker)')
+    single_object_tracking(tiny_config(), synthetic=True, epochs=1,
+                           workdir=work)
+
+    print('== 2/5 single-object tracking (heatmap head)')
+    cfg = tiny_config()
+    cfg.tracker.name = 'TinyHeatmapTracker'
+    cfg.tracker.heatmap_size = 8
+    single_object_tracking(cfg, synthetic=True, epochs=1, workdir=work)
+
+    print('== 3/5 joint multi-object detection + tracking')
+    simult_multi_obj_detection_tracking(tiny_config(), synthetic=True,
+                                        epochs=1, workdir=work,
+                                        image_size=64)
+
+    print('== 4/5 standalone detector training')
+    keras_yolo_obj_detection(tiny_config(), synthetic=True, epochs=1,
+                             workdir=work, train=True)
+
+    print('== 5/5 tracking evaluation (CLEAR-MOT)')
+    evaluate_tracking(tiny_config(), synthetic=True, window=3)
+
+    print('== all flows complete')
+
+
+if __name__ == '__main__':
+    main()

@@ -130,7 +130,9 @@ def single_object_tracking(cfg, *, synthetic: bool = False,
     logger, ckpts, early, reduce_lr = _make_callback_stack(
         cfg, logs, os.path.join(models_dir, 'tiny_tracker'), joint=False)
     if cfg.train.resume:
-        state, at = ckpts.restore(state)
+        from object_tracking_tpu.parallel import replicated_sharding
+        state, at = ckpts.restore(state,
+                                  sharding=replicated_sharding(mesh))
         if at:
             print(f'resumed from checkpoint step {at}')
     state = fit(state, make_tiny_train_step(heatmap),
@@ -219,7 +221,9 @@ def simult_multi_obj_detection_tracking(cfg, *, synthetic: bool = False,
     logger, ckpts, early, reduce_lr = _make_callback_stack(
         cfg, logs, os.path.join(models_dir, 'multi_obj'), joint=True)
     if cfg.train.resume:
-        state, at = ckpts.restore(state)
+        from object_tracking_tpu.parallel import replicated_sharding
+        state, at = ckpts.restore(state,
+                                  sharding=replicated_sharding(mesh))
         if at:
             print(f'resumed from checkpoint step {at}')
     state = fit(state,

@@ -52,8 +52,17 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, state_template, step: Optional[int] = None):
-        """Restore into the template TrainState; returns (state, step)."""
+    def restore(self, state_template, step: Optional[int] = None,
+                sharding: Optional[Any] = None):
+        """Restore into the template TrainState; returns (state, step).
+
+        `sharding` (e.g. `parallel.mesh.replicated_sharding(mesh)`)
+        re-places the restored arrays: orbax restores them COMMITTED to
+        one device, and a later jitted step whose batch is sharded over
+        the mesh rejects the mixed placement. Fresh-initialized arrays
+        are uncommitted (freely movable), which is why only the resume
+        path needs this.
+        """
         step = self._mgr.latest_step() if step is None else step
         if step is None:
             return state_template, None
@@ -66,6 +75,8 @@ class CheckpointManager:
             ocp.utils.to_shape_dtype_struct, payload)
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(abstract))
+        if sharding is not None:
+            restored = jax.device_put(restored, sharding)
         state = state_template.replace(
             step=restored['step'], params=restored['params'],
             opt_state=restored['opt_state'],
