@@ -149,6 +149,11 @@ class JointConfig:
     # Switch-style load-balancing auxiliary loss weight (only active when
     # the MoE head is, i.e. the model sows 'moe_aux_loss').
     moe_aux_weight: float = 0.01
+    # > 1 shards the ConvLSTM's time axis over the mesh `data` axis via
+    # parallel/context.py::context_parallel_scan (sequence parallelism for
+    # long clips — each device materializes T/time_shards activations).
+    # Must divide sequence_length and equal the mesh data-axis size.
+    time_shards: int = 1
 
 
 @dataclass
@@ -177,6 +182,9 @@ class TrainConfig:
     checkpoint_dir: str = 'checkpoints/'
     augment: bool = True
     log_every_steps: int = 1
+    # Non-empty enables the parsed-annotation pickle cache (reference
+    # parity: KerasYOLO.py:421-439), keyed by XML set + mtime.
+    annotation_cache_dir: str = ''
 
 
 @dataclass
@@ -189,6 +197,15 @@ class MeshConfig:
     # -1 means "all remaining devices"
     data_parallel: int = -1
     model_parallel: int = 1
+    # Multi-host (DCN) wiring: when True, parallel.mesh.distributed_init
+    # calls jax.distributed.initialize before any device query, so
+    # jax.devices() spans every host's chips and the same pjit program
+    # runs across DCN (SURVEY.md §5). The None/-1 defaults defer to the
+    # TPU environment's auto-detection (megascale coordinator).
+    distributed: bool = False
+    coordinator_address: Optional[str] = None
+    num_processes: int = -1
+    process_id: int = -1
 
 
 @dataclass

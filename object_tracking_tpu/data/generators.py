@@ -14,10 +14,14 @@ Re-designs the reference's three Keras `Sequence` generators
   single-object pipeline. The reference calls the frozen detector
   *per frame from inside the generator*, writing temp JPEGs to disk
   (:412-418) — a full darknet forward + disk round-trip per sample.
-  Here the detector pass is a **vectorized precompute**: every unique
-  frame is streamed through the jitted detector once (batched), and
-  features/detections are cached in host RAM, so epochs after the first
-  cost zero detector FLOPs — the 10× lever of SURVEY.md §7.
+  Here the detector pass is **vectorized**: with augmentation off,
+  every unique frame is streamed through the jitted detector once
+  (batched precompute) and cached in host RAM, so later epochs cost
+  zero detector FLOPs — the 10× lever of SURVEY.md §7; with
+  augmentation on, each epoch augments the window and re-runs the
+  detector on the augmented pixels in one batched forward per batch
+  (the reference's per-epoch augmentation semantics,
+  preprocessing.py:398-401, without its per-frame FFI round trip).
 
 Each generator is callable → fresh shuffled iterator (the fit-loop
 contract), and yields plain numpy pytrees ready for
@@ -34,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from object_tracking_tpu.data.augment import (
-    AugmentConfig, augment_frame, augment_sequence)
+    AugmentConfig, augment_frames_batch, augment_sequences_batch)
 from object_tracking_tpu.data.voc import Annotation
 from object_tracking_tpu.ops.heatmap import heatmap_encode
 from object_tracking_tpu.ops.targets import encode_targets
@@ -164,8 +168,8 @@ class DetectionBatches(_GeneratorBase):
                          seed, loader, debug_dir)
         self.annotations = list(annotations)
         self.drop_last = drop_last
-        self._aug = jax.jit(jax.vmap(
-            lambda k, im, bx: augment_frame(k, im, bx, self.aug_config)))
+        self._aug = (lambda k, im, bx: augment_frames_batch(
+            k, im, bx, self.aug_config))
 
     def __len__(self):
         n = len(self.annotations) // self.batch_size
@@ -217,9 +221,8 @@ class SequenceBatches(_GeneratorBase):
         self.windows = [list(w) for w in windows]
         self.drop_last = drop_last
         # One key per window → identical transform across its frames.
-        self._aug = jax.jit(jax.vmap(
-            lambda k, ims, bxs: augment_sequence(k, ims, bxs,
-                                                 self.aug_config)))
+        self._aug = (lambda k, ims, bxs: augment_sequences_batch(
+            k, ims, bxs, self.aug_config))
         self._encode_seq = jax.jit(jax.vmap(jax.vmap(
             lambda b, c, v: encode_targets(
                 b, c, v, self.anchors, image_h=net_h, image_w=net_w,
@@ -275,7 +278,14 @@ class TrackerSequenceBatches(_GeneratorBase):
     `forward_batch(images) -> (feats, boxes, labels, scores, valid)` —
     the YOLOv2Detector, or the deterministic FakeDetector in tests
     (replacing the darknet-FFI-in-the-generator of the reference,
-    preprocessing.py:412-419)."""
+    preprocessing.py:412-419).
+
+    With `augment=False` every unique frame goes through the detector
+    exactly once (`precompute`) and is served from cache thereafter.
+    With `augment=True` each window is augmented per epoch (sequence-
+    coherent PRNG) and the detector re-runs on the augmented pixels —
+    the reference's per-epoch semantics (preprocessing.py:398-401),
+    batched on device instead of per-frame over ctypes."""
 
     def __init__(self, windows: Sequence[Sequence[Annotation]],
                  labels: Sequence[str], detector, *,
@@ -300,9 +310,8 @@ class TrackerSequenceBatches(_GeneratorBase):
         self.drop_last = drop_last
         self.feature_layer = feature_layer
         self._cache: Dict[str, Tuple] = {}
-        self._aug = jax.jit(jax.vmap(
-            lambda k, ims, bxs: augment_sequence(k, ims, bxs,
-                                                 self.aug_config)))
+        self._aug = (lambda k, ims, bxs: augment_sequences_batch(
+            k, ims, bxs, self.aug_config))
         if target_mode == 'heatmap':
             self._hmap = jax.jit(jax.vmap(jax.vmap(
                 lambda x, y, w, h: heatmap_encode(
@@ -344,18 +353,11 @@ class TrackerSequenceBatches(_GeneratorBase):
             self.precompute()
         return self._cache[ann.filename]
 
-    def _single_object_io(self, ann: Annotation):
-        """First-GT-object selection + class-filtered best detection
-        (preprocessing.py:421-449): returns (det_in (4,), target (4,)),
-        both normalized center/top-left-format per mode."""
-        obj = ann.objects[0]
-        sx, sy = 1.0 / max(ann.width, 1), 1.0 / max(ann.height, 1)
-        gt = np.array([obj.xmin * sx, obj.ymin * sy,
-                       obj.xmax * sx, obj.ymax * sy], np.float32)
-
-        feats, boxes, labels, scores, valid = self._frame_prior(ann)
+    def _select_detection(self, want: str, boxes, labels, scores, valid
+                          ) -> np.ndarray:
+        """Best same-class detection (preprocessing.py:421-426 filter) →
+        (4,) center-format normalized box, zeros when none."""
         det = np.zeros((4,), np.float32)
-        want = obj.label.lower()
         best = -1.0
         for b, l, s, v in zip(boxes, labels, scores, valid):
             if not v or s <= best:
@@ -369,10 +371,70 @@ class TrackerSequenceBatches(_GeneratorBase):
                 continue
             best = s
             det = np.asarray(b, np.float32)  # center-format, normalized
+        return det
+
+    def _single_object_io(self, ann: Annotation):
+        """First-GT-object selection + class-filtered best detection
+        (preprocessing.py:421-449): returns (feats, det_in (4,) center,
+        gt (4,) corner), both normalized."""
+        obj = ann.objects[0]
+        sx, sy = 1.0 / max(ann.width, 1), 1.0 / max(ann.height, 1)
+        gt = np.array([obj.xmin * sx, obj.ymin * sy,
+                       obj.xmax * sx, obj.ymax * sy], np.float32)
+        feats, boxes, labels, scores, valid = self._frame_prior(ann)
+        det = self._select_detection(obj.label.lower(), boxes, labels,
+                                     scores, valid)
+        return feats, det, gt
+
+    def _augmented_io(self, wins: List[List[Annotation]]):
+        """Per-epoch augmented pass (reference capability: each frame is
+        augmented before the detector call every epoch,
+        preprocessing.py:398-401): augment each window sequence-coherently,
+        then stream the *augmented* pixels through the frozen detector —
+        one batched forward per batch instead of the reference's
+        per-frame darknet + temp-jpg round trip."""
+        b, t = len(wins), len(wins[0])
+        flat = [a.filename for w in wins for a in w]
+        images = self._load_paths(flat).reshape(
+            (b, t, self.net_h, self.net_w, 3))
+        gt_px = np.zeros((b, t, 1, 4), np.float32)
+        want: List[List[str]] = []
+        for i, win in enumerate(wins):
+            row = []
+            for j, a in enumerate(win):
+                bx, _, _ = _pad_boxes(a, self.labels, 1,
+                                      self.net_h, self.net_w)
+                gt_px[i, j] = bx
+                row.append(a.objects[0].label.lower())
+            want.append(row)
+        keys = jax.random.split(self._next_key(), b)
+        images, gt_px = self._aug(keys, jnp.asarray(images),
+                                  jnp.asarray(gt_px))
+        gt_px = np.asarray(gt_px)
+
+        # The augmented frames stay ON DEVICE into the detector forward —
+        # no host round trip between augmentation and the frozen detector.
+        feats, dbox, dlab, dsc, dval = self.detector.forward_batch(
+            images.reshape((b * t,) + images.shape[2:]),
+            layer=self.feature_layer)
+        feats = np.asarray(feats)
+        feats = feats.reshape((b, t) + feats.shape[1:])
+        dbox, dlab = np.asarray(dbox), np.asarray(dlab)
+        dsc, dval = np.asarray(dsc), np.asarray(dval)
+
+        det = np.zeros((b, t, 4), np.float32)
+        scale = np.array([self.net_w, self.net_h,
+                          self.net_w, self.net_h], np.float32)
+        gt = gt_px[:, :, 0, :] / scale            # corner, normalized
+        for i in range(b):
+            for j in range(t):
+                k = i * t + j
+                det[i, j] = self._select_detection(
+                    want[i][j], dbox[k], dlab[k], dsc[k], dval[k])
         return feats, det, gt
 
     def __call__(self):
-        if not self._cache:
+        if not self.augment and not self._cache:
             self.precompute()
         order = self._rng.permutation(len(self.windows))
         self._epoch += 1
@@ -381,15 +443,19 @@ class TrackerSequenceBatches(_GeneratorBase):
             yield self._make_batch([self.windows[i] for i in idx])
 
     def _make_batch(self, wins: List[List[Annotation]]) -> Dict:
-        feats_b, det_b, gt_b = [], [], []
-        for win in wins:
-            f_t, d_t, g_t = zip(*[self._single_object_io(a) for a in win])
-            feats_b.append(np.stack(f_t))
-            det_b.append(np.stack(d_t))
-            gt_b.append(np.stack(g_t))
-        feats = np.stack(feats_b)                 # (B, T, fh, fw, fc)
-        det = np.stack(det_b)                     # (B, T, 4) center fmt
-        gt = np.stack(gt_b)                       # (B, T, 4) corner fmt
+        if self.augment:
+            feats, det, gt = self._augmented_io(wins)
+        else:
+            feats_b, det_b, gt_b = [], [], []
+            for win in wins:
+                f_t, d_t, g_t = zip(*[self._single_object_io(a)
+                                      for a in win])
+                feats_b.append(np.stack(f_t))
+                det_b.append(np.stack(d_t))
+                gt_b.append(np.stack(g_t))
+            feats = np.stack(feats_b)             # (B, T, fh, fw, fc)
+            det = np.stack(det_b)                 # (B, T, 4) center fmt
+            gt = np.stack(gt_b)                   # (B, T, 4) corner fmt
 
         # GT → center-format normalized target (preprocessing.py:429-432)
         cx = 0.5 * (gt[..., 0] + gt[..., 2])

@@ -74,11 +74,19 @@ def load_library(build: bool = True) -> Optional[ctypes.CDLL]:
             lib = _bind(ctypes.CDLL(so))
             if lib.ott_version() != _ABI_VERSION:
                 # Stale binary from an older source revision: rebuild once.
+                # The Makefile builds to a temp file and renames, so the
+                # rebuilt .so has a fresh inode and this second CDLL maps
+                # the new code rather than deduping to the stale handle.
                 subprocess.run(['make', '-s', 'clean'], cwd=_NATIVE_DIR,
                                check=True, capture_output=True)
                 subprocess.run(['make', '-s'], cwd=_NATIVE_DIR, check=True,
                                capture_output=True, timeout=300)
                 lib = _bind(ctypes.CDLL(so))
+                if lib.ott_version() != _ABI_VERSION:
+                    # Still stale (e.g. the old mapping won) — refuse to
+                    # use a wrong-ABI library silently.
+                    _build_failed = True
+                    return None
             _lib = lib
         except Exception:
             _build_failed = True

@@ -118,20 +118,71 @@ def parse_annotation(xml_path: str, image_dir: str,
                       height=height, objects=objects)
 
 
+def _xml_walk(annot_dir: str) -> List[str]:
+    paths = []
+    for root, _, files in sorted(os.walk(annot_dir)):
+        paths.extend(os.path.join(root, f) for f in sorted(files)
+                     if f.endswith('.xml'))
+    return paths
+
+
+def _cache_key(xml_paths: Sequence[str], image_dir: str,
+               labels: Optional[Sequence[str]]) -> str:
+    """Fingerprint of the annotation tree: file set + newest mtime +
+    target labels. Walking mtimes is cheap next to parsing the XML."""
+    import hashlib
+    h = hashlib.sha1()
+    h.update(os.path.abspath(image_dir).encode())
+    h.update(repr(tuple(labels) if labels else None).encode())
+    newest = 0.0
+    for p in xml_paths:
+        h.update(p.encode())
+        try:
+            newest = max(newest, os.path.getmtime(p))
+        except OSError:
+            pass
+    h.update(f'{len(xml_paths)}:{newest}'.encode())
+    return h.hexdigest()
+
+
 def parse_annotation_dir(annot_dir: str, image_dir: str,
-                         labels: Optional[Sequence[str]] = None
+                         labels: Optional[Sequence[str]] = None,
+                         cache_dir: Optional[str] = None
                          ) -> Tuple[List[Annotation], Dict[str, int]]:
     """Recursive walk (preprocessing.py:18-25); returns (annotations,
-    label census). Sorted by path for deterministic windowing."""
+    label census). Sorted by path for deterministic windowing.
+
+    `cache_dir` enables a parsed-annotation pickle cache (the
+    reference's `load_data_generators` pickle, KerasYOLO.py:421-439),
+    keyed by the XML file set + newest mtime + label list, so a changed
+    tree re-parses automatically instead of serving stale entries.
+    """
+    xml_paths = _xml_walk(annot_dir)
+    cache_file = None
+    if cache_dir:
+        import pickle
+        key = _cache_key(xml_paths, image_dir, labels)
+        cache_file = os.path.join(cache_dir, f'annotations_{key}.pkl')
+        if os.path.isfile(cache_file):
+            try:
+                with open(cache_file, 'rb') as f:
+                    return pickle.load(f)
+            except Exception:
+                pass                       # corrupt cache → re-parse
+
     anns: List[Annotation] = []
     seen: Dict[str, int] = {}
-    for root, _, files in sorted(os.walk(annot_dir)):
-        for f in sorted(files):
-            if not f.endswith('.xml'):
-                continue
-            ann = parse_annotation(os.path.join(root, f), image_dir,
-                                   labels, seen)
-            if ann is not None:
-                anns.append(ann)
+    for p in xml_paths:
+        ann = parse_annotation(p, image_dir, labels, seen)
+        if ann is not None:
+            anns.append(ann)
     anns.sort(key=lambda a: a.filename)
+
+    if cache_file:
+        import pickle
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = cache_file + '.tmp'
+        with open(tmp, 'wb') as f:
+            pickle.dump((anns, seen), f)
+        os.replace(tmp, cache_file)        # atomic publish
     return anns, seen

@@ -168,8 +168,12 @@ def evaluate_detection(gt_frames: Sequence[Dict[str, np.ndarray]],
                       for l in np.asarray(f['labels']).reshape(-1)} |
                      {int(l) for f in pred_frames
                       for l in np.asarray(f['labels']).reshape(-1)})
+    # label -1 marks "not in the evaluated label set" (unknown classes);
+    # it is excluded — it would otherwise form a phantom class.
+    classes = [c for c in classes if c >= 0]
     ap_per_class: Dict[int, float] = {}
     ngt_per_class: Dict[int, int] = {}
+    pred_only: Dict[int, float] = {}
     for c in classes:
         # (score, image_idx, box) for every class-c detection.
         dets = []
@@ -185,10 +189,11 @@ def evaluate_detection(gt_frames: Sequence[Dict[str, np.ndarray]],
         ngt = int(sum(len(g) for g in gt_boxes))
         ngt_per_class[c] = ngt
         if ngt == 0:
-            # All detections of a class absent from GT are FPs; AP is 0
-            # if any exist, else the class contributes nothing.
+            # VOC convention: classes absent from GT don't enter the mean
+            # (their recall is undefined). Detections of such classes are
+            # reported separately instead of forcing AP=0 into the mAP.
             if dets:
-                ap_per_class[c] = 0.0
+                pred_only[c] = 0.0
             continue
         used = [np.zeros(len(g), bool) for g in gt_boxes]
         tp = np.zeros(len(dets))
@@ -209,7 +214,8 @@ def evaluate_detection(gt_frames: Sequence[Dict[str, np.ndarray]],
     m = float(np.mean(list(ap_per_class.values()))) \
         if ap_per_class else 0.0
     return {'map': m, 'ap_per_class': ap_per_class,
-            'num_gt_per_class': ngt_per_class}
+            'num_gt_per_class': ngt_per_class,
+            'pred_only_classes': pred_only}
 
 
 def evaluate_tracking_dataset(predictor, annotations,
@@ -240,16 +246,16 @@ def evaluate_tracking_dataset(predictor, annotations,
     iou_weighted = 0.0
     for name, anns in sorted(videos.items()):
         anns = sorted(anns, key=lambda a: a.filename)
-        n = (len(anns) // window) * window
-        if n == 0:
-            continue
-        anns = anns[:n]
+        # predict_video pads its final partial window internally, so every
+        # frame of every video is evaluated — no tail truncation.
         preds = predictor.predict_video([a.filename for a in anns],
                                         window=window)
         gt_frames, pred_frames = [], []
         for ann, dets in zip(anns, preds):
+            # Objects without a trackid key into the negative range so
+            # they can never collide with a real trackid in the frame.
             gt_frames.append({
-                obj.trackid if obj.trackid >= 0 else i:
+                obj.trackid if obj.trackid >= 0 else -(i + 1):
                     np.asarray(obj.box_xyxy, np.float32)
                 for i, obj in enumerate(ann.objects)})
             det_gt_frames.append({

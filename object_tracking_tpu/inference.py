@@ -90,16 +90,30 @@ class JointPredictor:
             frames.append(np.asarray(img, np.float32) / 255.0)
         return np.stack(frames)[None]        # (1, T, H, W, 3)
 
+    def reset_state(self) -> None:
+        """Drop the carried ConvLSTM state (and track identities) so the
+        next window starts a fresh, independent clip."""
+        self._state = None
+        self.tracks.reset()
+
     def predict_window(self, frames) -> List[List[dict]]:
         """frames: list of image paths OR array (T, H, W, 3) in [0,1].
 
         Returns per frame: [{'label', 'score', 'box' (cx,cy,w,h) rel,
         'track_id'}, ...].
+
+        NOTE: consecutive calls are a streaming continuation — the
+        ConvLSTM state carries across windows (that is the point of the
+        streaming design). Call `reset_state()` between unrelated clips;
+        a batch-size change resets automatically.
         """
         if isinstance(frames[0], str):
             x = self._load_window(frames)
         else:
             x = np.asarray(frames, np.float32)[None]
+        if self._state is not None and \
+                self._state[0].shape[0] != x.shape[0]:
+            self.reset_state()
         if self._state is None:
             b = x.shape[0]
             gh, gw = self.net_h // 32, self.net_w // 32
@@ -131,12 +145,17 @@ class JointPredictor:
         the TrackManager carry AND the ConvLSTM state streams across
         window boundaries (the reference restarts its recurrent state
         every window, MultiObjDetTracker.py:295-315)."""
-        self.tracks.reset()
-        self._state = None
+        self.reset_state()
         results: List[List[dict]] = []
-        for start in range(0, len(paths) - window + 1, window):
-            chunk = paths[start:start + window]
-            results.extend(self.predict_window(chunk))
+        for start in range(0, len(paths), window):
+            chunk = list(paths[start:start + window])
+            tail = len(chunk)
+            if tail < window:
+                # Pad the final partial window by repeating the last frame
+                # (keeps the jitted window shape fixed), then trim the
+                # padded predictions — no frame is silently dropped.
+                chunk = chunk + [chunk[-1]] * (window - tail)
+            results.extend(self.predict_window(chunk)[:tail])
         if draw_dir:
             self._draw(paths[:len(results)], results, draw_dir)
         return results

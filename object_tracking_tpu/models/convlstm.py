@@ -38,10 +38,18 @@ class FusedConvLSTM(nn.Module):
       features: hidden state channels F.
       kernel: conv kernel for both input and recurrent projections.
       dtype: compute dtype (params stay float32).
+      time_shards: > 1 runs the sequential scan time-sharded over the
+        mesh `data` axis via parallel.context.context_parallel_scan
+        (sequence parallelism: each device materializes T/time_shards
+        of the activations — the long-clip path). Requires `mesh`.
+      mesh: the jax.sharding.Mesh to shard time over (static attribute;
+        only consulted when time_shards > 1).
     """
     features: int
     kernel: Tuple[int, int] = (3, 3)
     dtype: Any = jnp.float32
+    time_shards: int = 1
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -95,8 +103,31 @@ class FusedConvLSTM(nn.Module):
                 lambda a: a.astype(self.dtype), initial_state)
 
         # Scan over time: xs (T, B, H, W, 4F).
-        final, ys = jax.lax.scan(step, initial_state,
-                                 jnp.moveaxis(xp, 1, 0))
+        xs = jnp.moveaxis(xp, 1, 0)
+        if self.time_shards > 1:
+            # Sequence parallelism: the input projection above is already
+            # embarrassingly parallel over T (GSPMD shards it with the
+            # input layout); only this sequential scan needs the explicit
+            # ring treatment. The exact multi-round ring keeps per-device
+            # activation memory at T/time_shards.
+            if return_state:
+                raise ValueError(
+                    'time_shards > 1 does not return the final state '
+                    '(streaming uses the dense scan); set '
+                    'return_state=False')
+            if self.mesh is None:
+                raise ValueError('time_shards > 1 requires a mesh')
+            from object_tracking_tpu.parallel.context import (
+                context_parallel_scan)
+            axis = self.mesh.axis_names[0]
+            if self.mesh.shape[axis] != self.time_shards:
+                raise ValueError(
+                    f'time_shards={self.time_shards} must equal the mesh '
+                    f'{axis!r} axis size {self.mesh.shape[axis]}')
+            ys = context_parallel_scan(step, initial_state, xs,
+                                       self.mesh, axis_name=axis)
+            return jnp.moveaxis(ys, 0, 1)
+        final, ys = jax.lax.scan(step, initial_state, xs)
         ys = jnp.moveaxis(ys, 0, 1)           # (B, T, H, W, F)
         if return_state:
             return ys, final

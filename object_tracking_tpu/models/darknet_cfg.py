@@ -298,7 +298,9 @@ def load_weights_for_cfg(path: str, cfg_text: str) -> Dict[str, Any]:
     if reader.remaining:
         raise ValueError(
             f'{reader.remaining} floats left over after cfg plan — '
-            'cfg/weights mismatch')
+            'cfg/weights mismatch (or a header-version mismatch: darknet '
+            'writes a 4- or 5-float header depending on its version; the '
+            'reader sizes the skip from the (major, minor) header ints)')
     return {'params': params, 'batch_stats': batch_stats}
 
 

@@ -45,6 +45,12 @@ class MultiObjDetTracker(nn.Module):
     # parameters shard over the mesh `model` axis — expert parallelism.
     moe_experts: int = 0
     moe_hidden: int = 256
+    # > 1 time-shards the ConvLSTM scan over the mesh `data` axis
+    # (sequence parallelism for long clips — each device holds
+    # T/time_shards of the recurrent activations). Requires `mesh`;
+    # see models/convlstm.py and parallel/context.py.
+    time_shards: int = 1
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False,
@@ -84,7 +90,9 @@ class MultiObjDetTracker(nn.Module):
         # the recurrent conv + fused gates stay in the sequential scan
         # (models/convlstm.py; Keras ConvLSTM2D equivalent).
         lstm = FusedConvLSTM(self.convlstm_features, (3, 3),
-                             dtype=self.dtype, name='tconv_lstm')
+                             dtype=self.dtype,
+                             time_shards=self.time_shards,
+                             mesh=self.mesh, name='tconv_lstm')
         if return_state:
             z, state = lstm(z, initial_state=initial_state,
                             return_state=True)

@@ -30,6 +30,16 @@ import jax.numpy as jnp
 from object_tracking_tpu.ops.boxes import pairwise_iou_center
 
 
+def _backend_is_tpu() -> bool:
+    """True when the default device is TPU hardware (any platform name —
+    covers the experimental axon tunnel, whose devices report
+    platform='tpu' while the registered backend name differs)."""
+    try:
+        return jax.devices()[0].platform == 'tpu'
+    except Exception:
+        return False
+
+
 def _nms_one_class(scores_c: jnp.ndarray, iou: jnp.ndarray,
                    nms_threshold: float) -> jnp.ndarray:
     """Greedy-suppress one class. scores_c (K,), iou (K, K) → new scores."""
@@ -134,8 +144,10 @@ def greedy_nms_scores(boxes: jnp.ndarray, scores: jnp.ndarray,
         boxes = boxes[idx]
         scores = scores[idx]
     if impl == 'auto':
-        impl = ('pallas' if jax.default_backend() in ('tpu', 'axon')
-                else 'sort')
+        # Pallas kernels require a TPU-family backend; probe the device
+        # platform rather than matching name strings (the experimental
+        # axon platform reports 'tpu' device kinds under another name).
+        impl = 'pallas' if _backend_is_tpu() else 'sort'
     if impl == 'pallas':
         from object_tracking_tpu.ops.pallas import nms_scores_pallas
         return boxes, nms_scores_pallas(boxes, scores, nms_threshold)

@@ -4,7 +4,8 @@ Re-implements the reference's weight pipeline (utility/utils.py:138-148
 `WeightReader`; models_detection/KerasYOLO.py:244-274 `init_weights`) with
 the layout conventions of this framework:
 
-- the file is a flat float32 stream with a 4-float header skip;
+- the file is a flat float32 stream behind a version-sized header
+  (4 or 5 4-byte slots — see DarknetWeightReader);
 - per conv block, BatchNorm params are stored in file order
   (beta, gamma, mean, var);
 - conv kernels are stored OIHW and must land as HWIO for XLA's NHWC convs.
@@ -43,19 +44,31 @@ DARKNET19_IN_CHANNELS = [
 
 
 class DarknetWeightReader:
-    """Sequential float32 reader with the reference's 4-float header skip
-    (utility/utils.py:138-148)."""
+    """Sequential float32 reader over a darknet `.weights` stream.
+
+    The reference hardcodes a 4-float header skip
+    (utility/utils.py:138-148), which is only correct for files written
+    by darknet with version major*10+minor < 2 (the `seen` counter is an
+    int32 there). Files from darknet >= 0.2 — including the stock
+    pjreddie `yolov2.weights` — write `seen` as a uint64, making the
+    header 5 float-slots; a fixed 4 would shift every parameter by one
+    float. We read the (major, minor, revision) int32 triple and size the
+    skip accordingly.
+    """
 
     def __init__(self, path: str):
         self.all_weights = np.fromfile(path, dtype=np.float32)
-        self.offset = 4
+        header = self.all_weights[:3].view(np.int32)
+        major, minor = int(header[0]), int(header[1])
+        self._header_floats = 5 if major * 10 + minor >= 2 else 4
+        self.offset = self._header_floats
 
     def read(self, size: int) -> np.ndarray:
         self.offset += size
         return self.all_weights[self.offset - size:self.offset]
 
     def reset(self) -> None:
-        self.offset = 4
+        self.offset = self._header_floats
 
     @property
     def remaining(self) -> int:

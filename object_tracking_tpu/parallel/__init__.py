@@ -10,8 +10,8 @@ clips (SURVEY.md §5 'long-context').
 """
 
 from object_tracking_tpu.parallel.mesh import (  # noqa: F401
-    make_mesh, data_sharding, replicated_sharding, shard_batch,
-    local_batch_size,
+    make_mesh, data_sharding, distributed_init, replicated_sharding,
+    shard_batch, local_batch_size,
 )
 from object_tracking_tpu.parallel.context import (  # noqa: F401
     context_parallel_scan,

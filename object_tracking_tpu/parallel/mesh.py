@@ -14,6 +14,7 @@ makes the same program span DCN; nothing else changes.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence
 
 import jax
@@ -21,6 +22,37 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from object_tracking_tpu.config import MeshConfig
+
+
+_DISTRIBUTED_INITIALIZED = False
+
+
+def distributed_init(config: Optional[MeshConfig] = None) -> bool:
+    """Multi-host (DCN) wiring: call `jax.distributed.initialize` once,
+    before any device query, iff `config.distributed` is set.
+
+    The reference's whole distribution story is pinning two processes to
+    two GPUs by env var (BaseTracker.py:40-48); the TPU-native story is
+    one pjit program spanning every host's chips — this is the only
+    per-process setup it needs. Idempotent; returns True when the
+    distributed runtime is (now) initialized.
+    """
+    global _DISTRIBUTED_INITIALIZED
+    config = config or MeshConfig()
+    if not config.distributed:
+        return False
+    if _DISTRIBUTED_INITIALIZED:
+        return True
+    kwargs = {}
+    if config.coordinator_address:
+        kwargs['coordinator_address'] = config.coordinator_address
+    if config.num_processes != -1:
+        kwargs['num_processes'] = config.num_processes
+    if config.process_id != -1:
+        kwargs['process_id'] = config.process_id
+    jax.distributed.initialize(**kwargs)
+    _DISTRIBUTED_INITIALIZED = True
+    return True
 
 
 def make_mesh(config: Optional[MeshConfig] = None,
@@ -61,21 +93,39 @@ def local_batch_size(mesh: Mesh, global_batch: int) -> int:
     return global_batch // dp
 
 
-def shard_batch(mesh: Mesh, tree):
-    """device_put a host pytree with its leading axis sharded over `data`.
+def shard_batch(mesh: Mesh, tree, axis: int = 0):
+    """device_put a host pytree with `axis` sharded over `data`.
 
     This is the host→HBM boundary: one transfer per device slice, laid out
-    so the subsequent pjit step needs no resharding collective.
+    so the subsequent pjit step needs no resharding collective. axis=0
+    shards the batch dim (data parallelism); axis=1 shards the time dim
+    of (B, T, ...) batches (sequence parallelism — pair with a model
+    built with time_shards > 1).
     """
     dp = mesh.shape[mesh.axis_names[0]]
 
     def put(x):
         x = np.asarray(x)
-        # Ragged tail batches (or leading dims smaller than the data axis)
-        # replicate instead of shard — correctness first, and XLA still
-        # partitions the compute where profitable.
-        if x.ndim and x.shape[0] % dp == 0:
-            return jax.device_put(x, data_sharding(mesh, x.ndim))
+        # Ragged axes (or dims smaller than the data axis) replicate
+        # instead of shard — correctness first, and XLA still partitions
+        # the compute where profitable. Replication costs dp× the memory
+        # and transfer of sharding, so it is logged (once per offending
+        # shape) rather than silent.
+        if x.ndim > axis and x.shape[axis] % dp == 0:
+            spec = [None] * x.ndim
+            spec[axis] = mesh.axis_names[0]
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        key = (x.shape, axis, dp)
+        if key not in _REPLICATION_WARNED:
+            _REPLICATION_WARNED.add(key)
+            logging.getLogger(__name__).warning(
+                'shard_batch: axis %d of %s not divisible by data axis '
+                '%d — replicating (a %dx memory/transfer cliff); pad or '
+                'drop the ragged batch to restore sharding', axis,
+                x.shape, dp, dp)
         return jax.device_put(x, replicated_sharding(mesh))
 
     return jax.tree_util.tree_map(put, tree)
+
+
+_REPLICATION_WARNED: set = set()

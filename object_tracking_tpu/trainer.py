@@ -27,8 +27,11 @@ import numpy as np
 
 
 def _common_setup(cfg, workdir: Optional[str] = None):
-    """mkdir logs/models (reference trainer.py:34-37), mesh, shard fn."""
-    from object_tracking_tpu.parallel import make_mesh, shard_batch
+    """mkdir logs/models (reference trainer.py:34-37), multi-host init
+    (when cfg.mesh.distributed), mesh, shard fn."""
+    from object_tracking_tpu.parallel import (
+        distributed_init, make_mesh, shard_batch)
+    distributed_init(cfg.mesh)
     base = workdir or '.'
     logs = os.path.join(base, cfg.train.tensorboard_dir)
     models = os.path.join(base, cfg.train.saved_model_dir)
@@ -100,7 +103,9 @@ def single_object_tracking(cfg, *, synthetic: bool = False,
             detector = YOLOv2Detector(cfg.detector)
 
     def build(split_img, split_ann):
-        anns, seen = parse_annotation_dir(split_ann, split_img, labels)
+        anns, seen = parse_annotation_dir(
+            split_ann, split_img, labels,
+            cache_dir=cfg.train.annotation_cache_dir or None)
         wins = make_sequence_windows(anns, cfg.tracker.sequence_length)
         return TrackerSequenceBatches(
             wins, labels, detector,
@@ -174,7 +179,9 @@ def simult_multi_obj_detection_tracking(cfg, *, synthetic: bool = False,
     logs, models_dir, mesh, shard_fn = _common_setup(cfg, workdir)
 
     def build(split_img, split_ann, augment):
-        anns, _ = parse_annotation_dir(split_ann, split_img, labels)
+        anns, _ = parse_annotation_dir(
+            split_ann, split_img, labels,
+            cache_dir=cfg.train.annotation_cache_dir or None)
         wins = make_sequence_windows(anns, cfg.joint.sequence_length)
         return SequenceBatches(
             wins, labels, net_h=size, net_w=size, grid_h=gh, grid_w=gw,
@@ -189,10 +196,23 @@ def simult_multi_obj_detection_tracking(cfg, *, synthetic: bool = False,
     val_gen = build(cfg.train.val_image_folder,
                     cfg.train.val_annot_folder, False)
 
+    # Sequence parallelism: time_shards > 1 shards the clip's time axis
+    # over the mesh `data` axis (host batches are laid out to match).
+    ts = cfg.joint.time_shards
+    if ts > 1:
+        from object_tracking_tpu.parallel import shard_batch
+        if cfg.joint.sequence_length % ts:
+            raise ValueError(
+                f'time_shards={ts} must divide sequence_length='
+                f'{cfg.joint.sequence_length}')
+        shard_fn = lambda b: shard_batch(mesh, b, axis=1)  # noqa: E731
     model = MultiObjDetTracker(
         num_classes=len(labels), num_anchors=cfg.detector.num_anchors,
         convlstm_features=cfg.joint.convlstm_features,
-        dtype=jnp.dtype(cfg.joint.compute_dtype), remat=cfg.joint.remat)
+        dtype=jnp.dtype(cfg.joint.compute_dtype), remat=cfg.joint.remat,
+        moe_experts=cfg.joint.moe_experts,
+        moe_hidden=cfg.joint.moe_hidden,
+        time_shards=ts, mesh=mesh if ts > 1 else None)
     t = cfg.joint.sequence_length
     variables = model.init(
         jax.random.PRNGKey(cfg.train.seed),
@@ -279,9 +299,9 @@ def keras_yolo_obj_detection(cfg, *, images=(), out_dir: str = '.',
                 labels=labels, image_h=size, image_w=size,
                 grid_h=size // 32, grid_w=size // 32))
         logs, models_dir, mesh, shard_fn = _common_setup(cfg, workdir)
-        anns, _ = parse_annotation_dir(cfg.train.train_annot_folder,
-                                       cfg.train.train_image_folder,
-                                       labels)
+        anns, _ = parse_annotation_dir(
+            cfg.train.train_annot_folder, cfg.train.train_image_folder,
+            labels, cache_dir=cfg.train.annotation_cache_dir or None)
         gen = DetectionBatches(
             anns, labels, net_h=size, net_w=size,
             grid_h=size // 32, grid_w=size // 32,
@@ -335,7 +355,10 @@ def evaluate_tracking(cfg, *, synthetic: bool = False,
 
     model = MultiObjDetTracker(
         num_classes=len(labels), num_anchors=cfg.detector.num_anchors,
-        convlstm_features=cfg.joint.convlstm_features)
+        convlstm_features=cfg.joint.convlstm_features,
+        dtype=jnp.dtype(cfg.joint.compute_dtype),
+        moe_experts=cfg.joint.moe_experts,
+        moe_hidden=cfg.joint.moe_hidden)
     t = window or cfg.joint.sequence_length
     variables = model.init(
         jax.random.PRNGKey(cfg.train.seed),
@@ -362,6 +385,45 @@ def evaluate_tracking(cfg, *, synthetic: bool = False,
         {k: {m: round(float(v), 4) for m, v in r.items()}
          for k, r in results.items()}, indent=2))
     return results
+
+
+# --------------------------------------------------------------------------
+# Flow 5: offline dataset converters (the reference ships these as
+# runnable scripts: utility/motd_to_pascal.py:127, utility/tb_to_pascal.py:152)
+# --------------------------------------------------------------------------
+def convert_dataset(kind: str, src: str, out_dir: str, *,
+                    class_map_path: Optional[str] = None,
+                    validation_split: float = 0.25) -> int:
+    """MOT17 / VisualTB → per-frame PASCAL-VOC XML trees (train/val[/test]).
+
+    `class_map_path` (VisualTB only): JSON mapping sequence dir → class
+    name — either a bare map or a reference-layout config.json with a
+    'classes_map' block (config.json:49-125).
+    """
+    import json as _json
+
+    from object_tracking_tpu.data.converters import (
+        mot_to_voc, visualtb_to_voc)
+
+    if kind == 'mot':
+        subdirs = [os.path.join(src, d) for d in ('train', 'test')
+                   if os.path.isdir(os.path.join(src, d))]
+        n = mot_to_voc(subdirs or [src], out_dir,
+                       validation_split=validation_split)
+    elif kind == 'visualtb':
+        if not class_map_path:
+            raise ValueError('visualtb conversion needs --class-map '
+                             '(sequence → class JSON)')
+        with open(class_map_path) as f:
+            cm = _json.load(f)
+        cm = cm.get('classes_map', cm)     # accept legacy config.json
+        n = visualtb_to_voc(src, os.path.join(out_dir, 'train'),
+                            os.path.join(out_dir, 'val'), cm,
+                            validation_split=validation_split)
+    else:
+        raise ValueError(f'unknown converter kind {kind!r}')
+    print(f'wrote {n} annotation files under {out_dir}')
+    return n
 
 
 # --------------------------------------------------------------------------
@@ -404,7 +466,24 @@ def main(argv=None) -> int:
     pe.add_argument('--checkpoint-dir')
     pe.add_argument('--window', type=int)
 
+    pc = sub.add_parser('convert', help='offline dataset converters '
+                        '(MOT17 / VisualTB → PASCAL-VOC XML)')
+    pc.add_argument('kind', choices=['mot', 'visualtb'])
+    pc.add_argument('--src', required=True,
+                    help='dataset root (MOT17 root with train/test, or '
+                    'VisualTB root of sequence dirs)')
+    pc.add_argument('--out', required=True, help='output XML root')
+    pc.add_argument('--class-map',
+                    help='VisualTB sequence→class JSON (bare map or '
+                    'legacy config.json with classes_map)')
+    pc.add_argument('--val-split', type=float, default=0.25)
+
     args = p.parse_args(argv)
+    if args.cmd == 'convert':
+        convert_dataset(args.kind, args.src, args.out,
+                        class_map_path=args.class_map,
+                        validation_split=args.val_split)
+        return 0
     cfg = _load_cfg(args)
 
     if args.cmd == 'single':

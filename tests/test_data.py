@@ -329,3 +329,116 @@ def test_tracker_batches_precompute_is_cached(synth):
     list(gen())
     # precompute ran once over unique frames; epoch 2 is cache-only
     assert sum(calls) == first_epoch_calls == 12
+
+
+def test_tracker_batches_augment_per_epoch(synth):
+    """Reference parity (preprocessing.py:398-401): with augment on, each
+    epoch augments the frames BEFORE the detector pass, so priors (here:
+    FakeDetector feats = mean pixel) and targets vary across epochs; with
+    augment off they are bit-identical."""
+    img_dir, ann_dir = synth
+    anns, _ = parse_annotation_dir(ann_dir, img_dir, labels=['1'])
+    wins = make_sequence_windows(anns, 2)
+    det = FakeDetector(feat_shape=(2, 2, 4), num_labels=1, label_id=0)
+
+    def epoch_tensors(gen):
+        feats, targets = [], []
+        for b in gen():
+            feats.append(b['feats'])
+            targets.append(b['target'])
+        return np.concatenate(feats), np.concatenate(targets)
+
+    aug = TrackerSequenceBatches(wins, ['1'], det, net_h=32, net_w=32,
+                                 batch_size=2, augment=True, seed=0,
+                                 drop_last=False)
+    f1, t1 = epoch_tensors(aug)
+    f2, t2 = epoch_tensors(aug)
+    # shuffling is seeded per-generator, not per-epoch, so differences
+    # come from augmentation alone once sorted; mean-feat varies.
+    assert np.abs(f1 - f2).max() > 0
+    assert b_shape_ok(f1, (len(wins), 2, 2, 2, 4))
+
+    plain = TrackerSequenceBatches(wins, ['1'], det, net_h=32, net_w=32,
+                                   batch_size=2, augment=False, seed=0,
+                                   drop_last=False)
+    p1, q1 = epoch_tensors(plain)
+    p2, q2 = epoch_tensors(plain)
+    np.testing.assert_array_equal(np.sort(p1.ravel()),
+                                  np.sort(p2.ravel()))
+    np.testing.assert_array_equal(np.sort(q1.ravel()),
+                                  np.sort(q2.ravel()))
+
+
+def b_shape_ok(arr, shape):
+    return arr.shape == shape
+
+
+def test_convert_cli_mot(tmp_path):
+    """`trainer convert mot` — the runnable-converter parity with the
+    reference's utility/motd_to_pascal.py:127 entry point."""
+    from object_tracking_tpu.trainer import main as trainer_main
+    seq = tmp_path / 'mot' / 'train' / 'SEQ-02'
+    (seq / 'gt').mkdir(parents=True)
+    (seq / 'seqinfo.ini').write_text(
+        '[Sequence]\nname=SEQ-02\nimDir=img1\nframeRate=30\n'
+        'seqLength=4\nimWidth=320\nimHeight=240\nimExt=.jpg\n')
+    (seq / 'gt' / 'gt.txt').write_text(
+        '1,1,10,20,30,40,1,1,1.0\n2,1,12,22,30,40,1,1,1.0\n'
+        '3,1,14,24,30,40,1,1,1.0\n4,1,16,26,30,40,1,1,1.0\n')
+    out = tmp_path / 'voc'
+    rc = trainer_main(['convert', 'mot', '--src', str(tmp_path / 'mot'),
+                       '--out', str(out)])
+    assert rc == 0
+    assert len(os.listdir(out / 'train' / 'SEQ-02')) == 3
+
+
+def test_convert_cli_visualtb_with_legacy_class_map(tmp_path):
+    import json
+    from object_tracking_tpu.trainer import main as trainer_main
+    seq = tmp_path / 'tb' / 'Walking'
+    seq.mkdir(parents=True)
+    (seq / 'groundtruth_rect.txt').write_text(
+        '10 20 30 40\n12,22,30,40\n')
+    cmap = tmp_path / 'config.json'
+    # legacy reference layout: classes_map block (config.json:49-125)
+    cmap.write_text(json.dumps({'classes_map': {'Walking': 'Person'}}))
+    # image_size probe needs a first frame on disk
+    import cv2
+    img_dir = seq / 'img'
+    img_dir.mkdir()
+    cv2.imwrite(str(img_dir / '0001.jpg'),
+                np.zeros((60, 80, 3), np.uint8))
+    out = tmp_path / 'out'
+    rc = trainer_main(['convert', 'visualtb', '--src',
+                       str(tmp_path / 'tb'), '--out', str(out),
+                       '--class-map', str(cmap)])
+    assert rc == 0
+    anns, _ = parse_annotation_dir(str(out / 'train'), '/imgs')
+    assert anns and anns[0].objects[0].label == 'Person'
+
+
+def test_parse_annotation_dir_cache(tmp_path, synth):
+    """Pickle cache (reference KerasYOLO.py:421-439 parity): second parse
+    is served from cache; touching an XML invalidates it."""
+    import pickle
+    img_dir, ann_dir = synth
+    cache = tmp_path / 'cache'
+    a1, s1 = parse_annotation_dir(ann_dir, img_dir, labels=['1'],
+                                  cache_dir=str(cache))
+    files = list(cache.glob('annotations_*.pkl'))
+    assert len(files) == 1
+    # Poison the cache payload to prove the next call reads it.
+    with open(files[0], 'rb') as f:
+        anns, seen = pickle.load(f)
+    with open(files[0], 'wb') as f:
+        pickle.dump((anns[:1], seen), f)
+    a2, _ = parse_annotation_dir(ann_dir, img_dir, labels=['1'],
+                                 cache_dir=str(cache))
+    assert len(a2) == 1
+    # mtime bump → key changes → fresh parse.
+    xml = next(p for p in os.scandir(os.path.join(ann_dir, 'video_00'))
+               if p.name.endswith('.xml'))
+    os.utime(xml.path, (os.path.getmtime(xml.path) + 10,) * 2)
+    a3, _ = parse_annotation_dir(ann_dir, img_dir, labels=['1'],
+                                 cache_dir=str(cache))
+    assert len(a3) == len(a1)

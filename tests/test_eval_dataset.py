@@ -27,6 +27,8 @@ def _make_annotations(n_frames=8, n_videos=2):
 class PerfectPredictor:
     """Echoes ground truth as predictions with stable track ids."""
 
+    labels = ('a',)
+
     def __init__(self, annotations):
         self.by_path = {a.filename: a for a in annotations}
 
@@ -74,11 +76,14 @@ def test_empty_predictions_give_zero_mota():
     assert res['overall']['fn'] == res['overall']['num_gt']
 
 
-def test_partial_window_frames_dropped():
-    anns = _make_annotations(n_frames=7, n_videos=1)   # 7 % 4 → eval 4
+def test_partial_window_frames_covered():
+    """No silent tail truncation: predict_video pads its final partial
+    window, so all 7 frames (not just 4) are evaluated."""
+    anns = _make_annotations(n_frames=7, n_videos=1)
     res = evaluate_tracking_dataset(PerfectPredictor(anns), anns,
                                     window=4)
-    assert res['overall']['num_gt'] == 2 * 4
+    assert res['overall']['num_gt'] == 2 * 7
+    assert res['overall']['mota'] == 1.0
 
 
 # ------------------------------------------------------------- detection mAP

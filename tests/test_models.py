@@ -61,10 +61,17 @@ def test_darknet_jit_deterministic(small_darknet):
     np.testing.assert_allclose(np.asarray(f(x)), np.asarray(f(x)))
 
 
-def make_fake_weights_file(num_classes=3, num_anchors=5, with_head=True):
+def make_fake_weights_file(num_classes=3, num_anchors=5, with_head=True,
+                           version=(0, 0, 0)):
     """Synthesize a darknet-format .weights stream with deterministic
-    values so ingestion order can be asserted."""
-    chunks = [np.zeros(4, np.float32)]  # header
+    values so ingestion order can be asserted. `version` controls the
+    header layout: major*10+minor >= 2 writes `seen` as uint64 (5-slot
+    header, like stock yolov2.weights), else int32 (4-slot)."""
+    major, minor, revision = version
+    seen_slots = 2 if major * 10 + minor >= 2 else 1
+    header = np.zeros(3 + seen_slots, np.float32)
+    header[:3] = np.array(version, np.int32).view(np.float32)
+    chunks = [header]
     rng = np.random.RandomState(7)
     for (name, cout, k), cin in zip(DARKNET19_CONV_PLAN,
                                     DARKNET19_IN_CHANNELS):
@@ -100,6 +107,24 @@ def test_weight_loader_roundtrip():
                                    raw[36:68])      # gamma
     finally:
         os.unlink(path)
+
+
+def test_weight_loader_v2_header():
+    """darknet >= 0.2 writes a 5-slot header (uint64 `seen`) — e.g. stock
+    pjreddie yolov2.weights; the reader must size the skip from the
+    version ints, or every parameter shifts by one float."""
+    p4 = make_fake_weights_file(version=(0, 0, 0))
+    p5 = make_fake_weights_file(version=(0, 2, 0))
+    try:
+        a = load_yolov2_weights(p4, num_classes=3)
+        b = load_yolov2_weights(p5, num_classes=3)
+        np.testing.assert_array_equal(a['params']['conv_1']['kernel'],
+                                      b['params']['conv_1']['kernel'])
+        np.testing.assert_array_equal(a['params']['conv_23']['bias'],
+                                      b['params']['conv_23']['bias'])
+    finally:
+        os.unlink(p4)
+        os.unlink(p5)
 
 
 def test_detector_ingests_fake_weights():

@@ -241,3 +241,32 @@ def test_pipeline_scan_rejects_wrong_stage_count():
     with pytest.raises(ValueError, match='leading axis'):
         gpipe(lambda p, x: x @ p['w'], params, jnp.zeros((3, 4)), mesh,
               'model')
+
+
+def test_distributed_init_flag_plumbing(monkeypatch):
+    """distributed_init is a no-op unless cfg.distributed, passes only the
+    explicitly-set kwargs through, and is idempotent."""
+    from object_tracking_tpu.parallel import mesh as mesh_mod
+
+    calls = []
+    monkeypatch.setattr(mesh_mod.jax.distributed, 'initialize',
+                        lambda **kw: calls.append(kw))
+    monkeypatch.setattr(mesh_mod, '_DISTRIBUTED_INITIALIZED', False)
+
+    assert mesh_mod.distributed_init(MeshConfig()) is False
+    assert calls == []
+
+    cfg = MeshConfig(distributed=True,
+                     coordinator_address='10.0.0.1:1234',
+                     num_processes=4, process_id=2)
+    assert mesh_mod.distributed_init(cfg) is True
+    assert calls == [{'coordinator_address': '10.0.0.1:1234',
+                      'num_processes': 4, 'process_id': 2}]
+    # Idempotent: a second call must not re-initialize.
+    assert mesh_mod.distributed_init(cfg) is True
+    assert len(calls) == 1
+
+    # Auto-detected environment: -1/None defaults pass no kwargs.
+    monkeypatch.setattr(mesh_mod, '_DISTRIBUTED_INITIALIZED', False)
+    assert mesh_mod.distributed_init(MeshConfig(distributed=True)) is True
+    assert calls[-1] == {}
