@@ -111,6 +111,67 @@ def bench_convlstm(iters: int):
                           'shape': [b, t, h, w, cin], 'features': f}))
 
 
+def bench_matcher(iters: int):
+    """Track-identity assignment for a T=16 window: in-jit greedy
+    (ops/matching.assign_tracks under lax.scan, one device program) vs
+    the host path (per-frame device→host pull + scipy Hungarian in
+    TrackManager). Justifies JointPredictor's matcher='greedy' default."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from object_tracking_tpu.ops.matching import (
+        TrackManager, assign_tracks, init_track_state)
+
+    t, k = 16, 32
+    rng = np.random.RandomState(0)
+    centers = rng.uniform(0.2, 0.8, (8, 2))
+    boxes = np.zeros((t, k, 4), np.float32)
+    labels = np.zeros((t, k), np.int32)
+    valid = np.zeros((t, k), bool)
+    for f in range(t):
+        centers = np.clip(centers + rng.uniform(-0.02, 0.02, (8, 2)),
+                          0, 1)
+        for i, c in enumerate(centers):
+            boxes[f, i] = (c[0], c[1], 0.12, 0.12)
+            labels[f, i] = i % 3
+            valid[f, i] = True
+    d_boxes, d_labels, d_valid = map(jnp.asarray, (boxes, labels, valid))
+
+    @jax.jit
+    def greedy_window(ts, bb, ll, vv):
+        def frame(carry, det):
+            b, l, v = det
+            carry, ids = assign_tracks(carry, b, l, v)
+            return carry, ids
+        return jax.lax.scan(frame, ts, (bb, ll, vv))
+
+    ts0 = init_track_state(64)
+    dt_greedy = _timeit(lambda: greedy_window(ts0, d_boxes, d_labels,
+                                              d_valid)[1], iters)
+
+    def host_window():
+        tm = TrackManager()
+        out = []
+        for f in range(t):
+            # device→host pull per frame, like the pre-greedy predictor
+            b = np.asarray(d_boxes[f])
+            l = np.asarray(d_labels[f])
+            v = np.asarray(d_valid[f])
+            out.append(tm.update(b[v], labels=l[v]))
+        return out
+
+    host_window()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        host_window()
+    dt_host = (time.perf_counter() - t0) / iters
+    print(json.dumps({'bench': 'track_assign_T16_K32',
+                      'greedy_in_jit_us': round(dt_greedy * 1e6, 1),
+                      'host_hungarian_us': round(dt_host * 1e6, 1),
+                      'speedup': round(dt_host / dt_greedy, 2)}))
+
+
 def bench_loader(iters: int):
     import numpy as np
 
@@ -156,11 +217,12 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument('--iters', type=int, default=20)
     p.add_argument('--only', choices=['nms', 'decode', 'convlstm',
-                                      'loader'])
+                                      'matcher', 'loader'])
     args = p.parse_args()
     table = {
         'nms': bench_nms, 'decode': bench_decode,
-        'convlstm': bench_convlstm, 'loader': bench_loader,
+        'convlstm': bench_convlstm, 'matcher': bench_matcher,
+        'loader': bench_loader,
     }
     for name, fn in table.items():
         if args.only and name != args.only:

@@ -1,0 +1,98 @@
+"""Train-to-quality: the joint detect+track model trained until held-out
+detection mAP and CLEAR-MOT MOTA clear a stated bar.
+
+The reference's only quality evidence is a checkpoint filename
+(val_loss 0.55 at epoch 3, /root/reference/models_tracking/
+MultiObjDetTracker.py:106) — it publishes no mAP/MOTA anywhere
+(README.md:61 lists benchmarking as an unchecked TODO). This script
+produces a real quality row: train `simult_multi_obj_detection_tracking`
+on synthetic multi-class video (the only data available offline — the
+blocker for MOT17 is recorded in PARITY.md), then run the CLEAR-MOT +
+VOC-mAP harness on a held-out val split.
+
+Bar (recorded in benchmarks/RESULTS.md): val mAP >= 0.5 and MOTA > 0.
+
+Usage:  python benchmarks/train_quality.py [--epochs 40] [--size 160]
+Prints one JSON line: {"map": ..., "mota": ..., "motp": ..., ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def run(epochs: int = 40, size: int = 160, videos: int = 24,
+        frames: int = 16, seed: int = 0, workdir: str | None = None,
+        batch_size: int = 4, lr: float = 3e-4) -> dict:
+    from object_tracking_tpu.config import Config
+    from object_tracking_tpu.data.synthetic import make_synthetic_dataset
+    from object_tracking_tpu.trainer import (
+        evaluate_tracking, simult_multi_obj_detection_tracking)
+
+    labels = ('1', '2')
+    wd = workdir or tempfile.mkdtemp(prefix='ott_quality_')
+    train_img, train_ann = make_synthetic_dataset(
+        os.path.join(wd, 'train'), num_videos=videos,
+        frames_per_video=frames, image_size=(size, size), labels=labels,
+        box_frac=0.3, size_jitter=0.35, seed=seed)
+    val_img, val_ann = make_synthetic_dataset(
+        os.path.join(wd, 'val'), num_videos=6, frames_per_video=frames,
+        image_size=(size, size), labels=labels, box_frac=0.3,
+        size_jitter=0.35, seed=seed + 991)
+
+    cfg = Config()
+    cfg.joint.labels = labels
+    cfg.joint.batch_size = batch_size
+    cfg.detector.image_h = cfg.detector.image_w = size
+    cfg.detector.grid_h = cfg.detector.grid_w = size // 32
+    cfg.train.train_image_folder, cfg.train.train_annot_folder = (
+        train_img, train_ann)
+    cfg.train.val_image_folder, cfg.train.val_annot_folder = (
+        val_img, val_ann)
+    cfg.train.joint_learning_rate = lr
+    cfg.train.max_epochs = epochs
+    cfg.train.early_stop_patience = max(epochs, 20)  # run the clock out
+    cfg.train.augment = True
+
+    simult_multi_obj_detection_tracking(cfg, workdir=wd)
+    results = evaluate_tracking(
+        cfg, checkpoint_dir=os.path.join(
+            wd, cfg.train.saved_model_dir, 'multi_obj'),
+        workdir=wd)
+    overall = results['overall']
+    out = {'map': round(float(overall['map']), 4),
+           'mota': round(float(overall['mota']), 4),
+           'motp': round(float(overall['motp']), 4),
+           'id_switches': int(overall['id_switches']),
+           'epochs': epochs, 'size': size,
+           'train_frames': videos * frames,
+           'bar': {'map': 0.5, 'mota': 0.0},
+           'passed': bool(overall['map'] >= 0.5
+                          and overall['mota'] > 0.0)}
+    print(json.dumps(out))
+    qpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         'QUALITY.json')
+    with open(qpath, 'w') as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
+if __name__ == '__main__':
+    p = argparse.ArgumentParser()
+    p.add_argument('--epochs', type=int, default=40)
+    p.add_argument('--size', type=int, default=160)
+    p.add_argument('--videos', type=int, default=24)
+    p.add_argument('--frames', type=int, default=16)
+    p.add_argument('--batch-size', type=int, default=4)
+    p.add_argument('--lr', type=float, default=3e-4)
+    p.add_argument('--workdir')
+    a = p.parse_args()
+    run(epochs=a.epochs, size=a.size, videos=a.videos, frames=a.frames,
+        batch_size=a.batch_size, lr=a.lr, workdir=a.workdir)

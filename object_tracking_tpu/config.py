@@ -88,6 +88,15 @@ class DetectorConfig:
     obj_threshold: float = 0.5    # KerasYOLO.py:43
     nms_threshold: float = 0.45   # KerasYOLO.py:44
     weights_path: Optional[str] = None  # darknet yolov2.weights (KerasYOLO.py:59)
+    # Frozen prior-source backend for the single-object pipeline:
+    # 'yolo' (TPU YOLOv2 — reference's darknet path), 'vgg16' (TPU VGG16
+    # with dense detection head — reference's FasterRCNN path,
+    # BaseTracker.py:53-60 selects by config name), or 'fake'
+    # (deterministic hermetic priors for tests).
+    backend: str = 'yolo'
+    # VGG16 backend weights: .npz of named arrays (see
+    # models/vgg16.py::VGG16PriorSource.load_npz_weights).
+    vgg_weights_path: Optional[str] = None
     # Optional darknet .cfg describing the detector graph. The reference
     # feeds any cfg to the darknet C loader (config.json:4 → YOLO.py:128);
     # here models/darknet_cfg.py compiles it to a flax module. When None,
@@ -248,6 +257,11 @@ class Config:
         'train' / 'val' blocks)."""
         cfg = cls()
         md = d.get('model_detector', {})
+        if 'name' in md:
+            # BaseTracker.py:53-60 dispatches on this name: 'YOLO' →
+            # darknet, 'FasterRCNN' → pycaffe VGG16. Here: TPU backends.
+            cfg.detector.backend = (
+                'vgg16' if md['name'] == 'FasterRCNN' else 'yolo')
         if 'nms' in md:
             cfg.detector.nms_threshold = float(md['nms'])
         if 'thresh' in md:

@@ -18,33 +18,63 @@ import numpy as np
 from object_tracking_tpu.data.voc import Annotation, ObjectAnnotation
 
 
+# Per-class-index appearance (BGR fill, shape) — classes must be visually
+# separable for any detector to learn them; the reference's synthetic
+# story is "download MOT17", which has no offline equivalent.
+_CLASS_STYLES = (
+    ((0, 200, 255), 'square'), ((255, 120, 0), 'circle'),
+    ((60, 220, 60), 'square'), ((200, 60, 200), 'circle'),
+)
+
+
+def _draw_object(img, x, y, bw, bh, class_idx: int) -> None:
+    import cv2
+    color, shape = _CLASS_STYLES[class_idx % len(_CLASS_STYLES)]
+    if shape == 'circle':
+        cv2.ellipse(img, (x + bw // 2, y + bh // 2), (bw // 2, bh // 2),
+                    0, 0, 360, color, -1)
+    else:
+        img[y:y + bh, x:x + bw] = color
+
+
 def make_synthetic_dataset(root: str, *, num_videos: int = 2,
                            frames_per_video: int = 8,
                            image_size: Tuple[int, int] = (416, 416),
                            labels: Sequence[str] = ('1',),
-                           box_frac: float = 0.3, seed: int = 0
+                           box_frac: float = 0.3, seed: int = 0,
+                           size_jitter: float = 0.0
                            ) -> Tuple[str, str]:
-    """Write JPEG frames + VOC XMLs; returns (image_dir, annot_dir)."""
+    """Write JPEG frames + VOC XMLs; returns (image_dir, annot_dir).
+
+    Each class index renders with a distinct fill color/shape so
+    multi-class detectors can actually be trained on this data;
+    `size_jitter` varies the per-video box scale by up to ±that fraction
+    of `box_frac` (0 keeps the legacy fixed size).
+    """
     import cv2
     rng = np.random.RandomState(seed)
     w, h = image_size
     image_dir = os.path.join(root, 'images')
     annot_dir = os.path.join(root, 'annotations')
-    bw, bh = int(w * box_frac), int(h * box_frac)
     for v in range(num_videos):
         folder = f'video_{v:02d}'
         os.makedirs(os.path.join(image_dir, folder), exist_ok=True)
         os.makedirs(os.path.join(annot_dir, folder), exist_ok=True)
+        frac = box_frac
+        if size_jitter:
+            frac *= 1.0 + rng.uniform(-size_jitter, size_jitter)
+        bw, bh = max(int(w * frac), 4), max(int(h * frac), 4)
         x = rng.randint(0, w - bw)
         y = rng.randint(0, h - bh)
         vx, vy = rng.randint(-8, 9, size=2)
         bg = rng.randint(0, 80, size=(h, w, 3), dtype=np.uint8)
-        label = labels[v % len(labels)]
+        class_idx = v % len(labels)
+        label = labels[class_idx]
         for f in range(frames_per_video):
             x = int(np.clip(x + vx, 0, w - bw))
             y = int(np.clip(y + vy, 0, h - bh))
             img = bg.copy()
-            img[y:y + bh, x:x + bw] = (0, 200, 255)
+            _draw_object(img, x, y, bw, bh, class_idx)
             fname = f'{f:04d}.jpg'
             cv2.imwrite(os.path.join(image_dir, folder, fname), img)
             _write_xml(os.path.join(annot_dir, folder, f'{f:04d}.xml'),

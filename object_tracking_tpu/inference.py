@@ -25,7 +25,8 @@ import numpy as np
 
 from object_tracking_tpu.config import DetectorConfig, JointConfig
 from object_tracking_tpu.ops.decode import boxes_to_list, decode_and_nms
-from object_tracking_tpu.ops.matching import TrackManager
+from object_tracking_tpu.ops.matching import (
+    TrackManager, assign_tracks, init_track_state)
 
 
 class JointPredictor:
@@ -39,11 +40,19 @@ class JointPredictor:
                                              # head output (:307)
                  iou_threshold: float = 0.5,
                  net_size: Tuple[int, int] = (416, 416),
-                 bn_mode: str = 'batch'):    # 'batch' = reference parity
+                 bn_mode: str = 'batch',     # 'batch' = reference parity
                                              # (K.set_learning_phase(1)
                                              # keeps BN on batch stats at
                                              # predict time too);
                                              # 'running' = EMA stats
+                 matcher: str = 'greedy',    # 'greedy' = identity
+                                             # assignment INSIDE the jit
+                                             # (ops/matching.assign_tracks,
+                                             # no host round-trip per
+                                             # frame); 'hungarian' = host
+                                             # scipy optimum (eval)
+                 max_tracks: int = 64,
+                 max_age: int = 3):
         self.model = model
         self.variables = variables
         # Host-side on purpose: `_run` (jit) closes over this, and a
@@ -53,13 +62,20 @@ class JointPredictor:
         self.labels = tuple(labels)
         self.head = head
         self.net_h, self.net_w = net_size
-        self.tracks = TrackManager(iou_threshold=iou_threshold)
+        if matcher not in ('greedy', 'hungarian'):
+            raise ValueError(matcher)
+        self.matcher = matcher
+        self.max_tracks = max_tracks
+        self.tracks = TrackManager(iou_threshold=iou_threshold,
+                                   max_age=max_age)
         self._state = None                  # carried ConvLSTM (c, h)
+        self._track_state = None            # carried device TrackState
 
         batch_bn = bn_mode == 'batch'
+        greedy = matcher == 'greedy'
 
         @jax.jit
-        def _run(variables, images, state):
+        def _run(variables, images, state, track_state):
             out = self.model.apply(variables, images, train=batch_bn,
                                    initial_state=state,
                                    return_state=True,
@@ -71,11 +87,21 @@ class JointPredictor:
             dets = jax.vmap(lambda n: decode_and_nms(
                 n, self.anchors, obj_threshold=obj_threshold,
                 nms_threshold=nms_threshold))(netout)
+            if greedy:
+                def frame(ts, det):
+                    boxes, det_labels, _scores, valid = det
+                    ts, ids = assign_tracks(
+                        ts, boxes, det_labels.astype(jnp.int32), valid,
+                        iou_threshold=iou_threshold, max_age=max_age)
+                    return ts, ids
+                track_state, ids = jax.lax.scan(frame, track_state, dets)
+            else:
+                ids = None
             # f32 carry keeps the jit signature stable across windows
             # whatever the model's compute dtype.
             state = jax.tree_util.tree_map(
                 lambda s: s.astype(jnp.float32), out['state'])
-            return dets, state
+            return dets, ids, state, track_state
 
         self._run = _run
 
@@ -94,6 +120,7 @@ class JointPredictor:
         """Drop the carried ConvLSTM state (and track identities) so the
         next window starts a fresh, independent clip."""
         self._state = None
+        self._track_state = None
         self.tracks.reset()
 
     def predict_window(self, frames) -> List[List[dict]]:
@@ -120,21 +147,37 @@ class JointPredictor:
             feats = self.model.convlstm_features
             zeros = jnp.zeros((b, gh, gw, feats), jnp.float32)
             self._state = (zeros, zeros)
-        (boxes, labels, scores, valid), self._state = self._run(
-            self.variables, x, self._state)
+        if self._track_state is None:
+            self._track_state = init_track_state(self.max_tracks)
+        (boxes, labels, scores, valid), dev_ids, self._state, \
+            self._track_state = self._run(
+                self.variables, x, self._state, self._track_state)
+        if dev_ids is not None:
+            dev_ids = np.asarray(dev_ids)
         out = []
         for t in range(x.shape[1]):
-            dets = boxes_to_list(boxes[t], labels[t], scores[t],
-                                 valid[t])
-            det_boxes = np.asarray([d[2] for d in dets], np.float32) \
-                if dets else np.zeros((0, 4), np.float32)
-            det_labels = np.asarray([d[0] for d in dets], np.int32) \
-                if dets else np.zeros((0,), np.int32)
-            ids = self.tracks.update(det_boxes, labels=det_labels)
+            if dev_ids is not None:
+                # device-side identities: align ids with the same
+                # valid-filter + score sort boxes_to_list applies
+                v = np.asarray(valid[t])
+                # stable sort matches boxes_to_list's `sorted` on ties
+                order = np.argsort(-np.asarray(scores[t])[v],
+                                   kind='stable')
+                dets = boxes_to_list(boxes[t], labels[t], scores[t],
+                                     valid[t])
+                ids = list(dev_ids[t][v][order])
+            else:
+                dets = boxes_to_list(boxes[t], labels[t], scores[t],
+                                     valid[t])
+                det_boxes = np.asarray([d[2] for d in dets], np.float32) \
+                    if dets else np.zeros((0, 4), np.float32)
+                det_labels = np.asarray([d[0] for d in dets], np.int32) \
+                    if dets else np.zeros((0,), np.int32)
+                ids = self.tracks.update(det_boxes, labels=det_labels)
             out.append([
                 {'label': self.labels[l] if l < len(self.labels)
                  else str(l),
-                 'score': s, 'box': b, 'track_id': ids[i]}
+                 'score': s, 'box': b, 'track_id': int(ids[i])}
                 for i, (l, s, b) in enumerate(dets)])
         return out
 

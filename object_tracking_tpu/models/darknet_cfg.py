@@ -304,6 +304,45 @@ def load_weights_for_cfg(path: str, cfg_text: str) -> Dict[str, Any]:
     return {'params': params, 'batch_stats': batch_stats}
 
 
+def export_weights_for_cfg(variables, cfg_text: str, path: str,
+                           seen: int = 0) -> None:
+    """Serialize DarknetCfgNet variables to a darknet `.weights` binary in
+    cfg order — the exact inverse of `load_weights_for_cfg`. Writes the
+    modern 5-slot header (int32 major/minor/revision + uint64 seen), the
+    same layout as stock pjreddie weight files.
+
+    The reference consumes this format read-only (utility/utils.py:138-148);
+    here it is a two-way interchange format, so a model trained in this
+    framework can be handed back to any darknet-compatible runtime, and
+    tests can exercise the real ingestion path on independently-produced
+    files (tests/fixtures).
+    """
+    from object_tracking_tpu.ops.weights import write_darknet_header
+    _, plan = compile_cfg(parse_darknet_cfg(cfg_text))
+    params = variables['params']
+    stats = variables.get('batch_stats', {})
+    with open(path, 'wb') as f:
+        write_darknet_header(f, seen)
+        for i, layer in enumerate(plan):
+            if layer[0] != 'conv':
+                continue
+            bn = layer[4]
+            if bn:
+                np.asarray(params[f'norm_{i}']['bias'],
+                           np.float32).tofile(f)
+                np.asarray(params[f'norm_{i}']['scale'],
+                           np.float32).tofile(f)
+                np.asarray(stats[f'norm_{i}']['mean'],
+                           np.float32).tofile(f)
+                np.asarray(stats[f'norm_{i}']['var'],
+                           np.float32).tofile(f)
+            else:
+                np.asarray(params[f'conv_{i}']['bias'],
+                           np.float32).tofile(f)
+            np.asarray(params[f'conv_{i}']['kernel'],
+                       np.float32).transpose(3, 2, 0, 1).tofile(f)
+
+
 # --------------------------------------------------------------------------
 # head decoding
 # --------------------------------------------------------------------------
@@ -404,6 +443,15 @@ class CfgDetector:
         self.obj_threshold = obj_threshold
         self.nms_threshold = nms_threshold
         n_cls = self.specs[0]['num_classes']
+        if labels and len(labels) != n_cls:
+            # e.g. default COCO-80 labels handed to a 2-class cfg: the
+            # cfg's class count is authoritative (darknet reads it from
+            # [region]/[yolo] too) — fall back to positional names.
+            import warnings
+            warnings.warn(
+                f'{len(labels)} labels given but cfg declares {n_cls} '
+                'classes; using positional class names', stacklevel=2)
+            labels = None
         self.labels = tuple(labels) if labels else tuple(
             f'class_{i}' for i in range(n_cls))
         dummy = jnp.zeros((1, h, w, c), jnp.float32)

@@ -16,7 +16,7 @@ needs identities, so this module provides:
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +60,114 @@ def greedy_match(boxes_a: jnp.ndarray, valid_a: jnp.ndarray,
         0, min(n, m), body,
         (iou, jnp.full((m,), -1, jnp.int32)))
     return match
+
+
+class TrackState(NamedTuple):
+    """Fixed-shape, device-resident track table for jitted identity
+    assignment — the in-jit counterpart of the host TrackManager. All
+    arrays are length MAX_TRACKS (slot-indexed); `ids` holds the public
+    track id of each slot, `age` the frames since last match."""
+    boxes: jnp.ndarray     # (S, 4) center-format
+    labels: jnp.ndarray    # (S,) int32 class ids
+    ids: jnp.ndarray       # (S,) int32 public ids (-1 = unused slot)
+    age: jnp.ndarray       # (S,) int32
+    active: jnp.ndarray    # (S,) bool
+    next_id: jnp.ndarray   # () int32
+
+
+def init_track_state(max_tracks: int = 64) -> TrackState:
+    s = max_tracks
+    return TrackState(
+        boxes=jnp.zeros((s, 4), jnp.float32),
+        labels=jnp.full((s,), -1, jnp.int32),
+        ids=jnp.full((s,), -1, jnp.int32),
+        age=jnp.zeros((s,), jnp.int32),
+        active=jnp.zeros((s,), bool),
+        next_id=jnp.int32(0))
+
+
+def assign_tracks(state: TrackState, boxes: jnp.ndarray,
+                  labels: jnp.ndarray, valid: jnp.ndarray,
+                  iou_threshold: float = 0.5, max_age: int = 3
+                  ) -> Tuple[TrackState, jnp.ndarray]:
+    """One frame of class-aware greedy track assignment, fully jittable.
+
+    Matches current detections to live tracks by descending IoU (same
+    class only), assigns fresh ids to unmatched detections (into free
+    slots; when the table is full the excess detections get id -1),
+    ages unmatched tracks and retires those unseen for > max_age frames
+    — TrackManager.update semantics as a pure fixed-shape function, so
+    identity assignment runs INSIDE the jitted predict program instead
+    of a host round-trip per frame.
+
+    Returns (new_state, det_ids (M,) int32 — -1 for invalid detections).
+    """
+    s = state.boxes.shape[0]
+    m = boxes.shape[0]
+    iou = pairwise_iou_center(state.boxes, boxes)            # (S, M)
+    ok = (state.active[:, None] & valid[None, :]
+          & (state.labels[:, None] == labels[None, :]))
+    iou = jnp.where(ok, iou, -1.0)
+
+    def body(_, carry):
+        iou_c, match = carry
+        flat = jnp.argmax(iou_c)
+        i, j = flat // m, flat % m
+        hit = iou_c[i, j] >= iou_threshold
+        match = jnp.where(hit, match.at[j].set(i.astype(jnp.int32)),
+                          match)
+        iou_c = jnp.where(hit, iou_c.at[i, :].set(-1.0), iou_c)
+        iou_c = jnp.where(hit, iou_c.at[:, j].set(-1.0), iou_c)
+        return iou_c, match
+
+    _, match = jax.lax.fori_loop(
+        0, min(s, m), body, (iou, jnp.full((m,), -1, jnp.int32)))
+
+    matched_det = match >= 0                                  # (M,)
+    slot_of_det = jnp.where(matched_det, match, 0)
+    # which slots got matched this frame (max: duplicate index 0 writes
+    # from unmatched dets must not clobber a real hit there)
+    slot_hit = jnp.zeros((s,), bool).at[slot_of_det].max(
+        matched_det, mode='drop')
+
+    # age/retire unmatched tracks first, freeing their slots
+    age = jnp.where(slot_hit, 0, state.age + 1)
+    active = state.active & (age <= max_age)
+
+    # allocate free slots to new (valid, unmatched) detections in order
+    new_det = valid & ~matched_det                            # (M,)
+    free = ~active                                            # (S,)
+    # rank of each new det among new dets / of each free slot among free
+    det_rank = jnp.cumsum(new_det.astype(jnp.int32)) - 1      # (M,)
+    free_slots = jnp.nonzero(free, size=s, fill_value=-1)[0]  # (S,)
+    n_free = jnp.sum(free.astype(jnp.int32))
+    placeable = new_det & (det_rank < n_free)
+    new_slot = jnp.where(placeable,
+                         free_slots[jnp.clip(det_rank, 0, s - 1)], -1)
+
+    # ids: matched dets inherit the slot id; placeable dets get fresh ids
+    fresh_id = state.next_id + det_rank
+    det_ids = jnp.where(matched_det, state.ids[slot_of_det], -1)
+    det_ids = jnp.where(placeable, fresh_id, det_ids)
+
+    # scatter detection data into slots (matched updates + new inserts);
+    # non-writing detections point out of bounds and are dropped —
+    # routing them to any real slot would clobber it (duplicate-index
+    # scatter order is undefined)
+    write = matched_det | placeable
+    slot = jnp.where(write, jnp.where(matched_det, slot_of_det, new_slot),
+                     s)
+    new_boxes = state.boxes.at[slot].set(boxes, mode='drop')
+    new_labels = state.labels.at[slot].set(labels, mode='drop')
+    new_ids = state.ids.at[slot].set(det_ids, mode='drop')
+    age = age.at[slot].set(0, mode='drop')
+    active = active.at[slot].set(True, mode='drop')
+
+    new_state = TrackState(
+        boxes=new_boxes, labels=new_labels, ids=new_ids, age=age,
+        active=active,
+        next_id=state.next_id + jnp.sum(placeable.astype(jnp.int32)))
+    return new_state, det_ids
 
 
 def hungarian_match(boxes_a: np.ndarray, boxes_b: np.ndarray,

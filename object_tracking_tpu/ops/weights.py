@@ -115,3 +115,35 @@ def load_yolov2_weights(path: str, num_classes: int,
         params['conv_23'] = {'kernel': kernel, 'bias': bias}
 
     return {'params': params, 'batch_stats': batch_stats}
+
+
+def write_darknet_header(f, seen: int = 0) -> None:
+    """Write a modern darknet header: int32 (major=0, minor=2,
+    revision=0) + uint64 `seen` — the 5-float-slot layout of stock
+    yolov2.weights (see DarknetWeightReader)."""
+    np.asarray([0, 2, 0], np.int32).tofile(f)
+    np.asarray([seen], np.uint64).tofile(f)
+
+
+def export_yolov2_weights(variables, path: str, seen: int = 0) -> None:
+    """Serialize Darknet-19 variables back to darknet `.weights` binary —
+    the exact inverse of `load_yolov2_weights` (which re-implements
+    KerasYOLO.py:244-274 ingestion). The reference has no exporter; this
+    makes the darknet binary a two-way interchange format, and lets tests
+    exercise the real ingestion path on a file produced independently.
+    """
+    params = variables['params']
+    stats = variables['batch_stats']
+    with open(path, 'wb') as f:
+        write_darknet_header(f, seen)
+        for name, _cout, _k in DARKNET19_CONV_PLAN:
+            norm = name.replace('conv', 'norm')
+            for arr in (params[norm]['bias'], params[norm]['scale'],
+                        stats[norm]['mean'], stats[norm]['var']):
+                np.asarray(arr, np.float32).tofile(f)
+            kern = np.asarray(params[name]['kernel'], np.float32)
+            kern.transpose(3, 2, 0, 1).tofile(f)          # HWIO → OIHW
+        if 'conv_23' in params:
+            np.asarray(params['conv_23']['bias'], np.float32).tofile(f)
+            np.asarray(params['conv_23']['kernel'],
+                       np.float32).transpose(3, 2, 0, 1).tofile(f)

@@ -93,14 +93,27 @@ def single_object_tracking(cfg, *, synthetic: bool = False,
         cfg = _synthetic_dirs(cfg, (128, 128), labels)
     logs, models_dir, mesh, shard_fn = _common_setup(cfg, workdir)
 
-    # Frozen prior source: the TPU YOLOv2 (replacing darknet ctypes /
-    # pycaffe, BaseTracker.py:53-60) or a deterministic fake.
+    # Frozen prior source, selected like BaseTracker.load_detection_model
+    # (BaseTracker.py:53-60 dispatches on the config name): the TPU
+    # YOLOv2 (darknet path), the TPU VGG16 with its own dense detection
+    # head (FasterRCNN path), or a deterministic fake.
     if detector is None:
-        if synthetic or not cfg.detector.weights_path:
+        if cfg.detector.backend == 'vgg16' and not synthetic:
+            from object_tracking_tpu.models import VGG16PriorSource
+            detector = VGG16PriorSource(
+                image_h=cfg.detector.image_h, image_w=cfg.detector.image_w,
+                weights_path=cfg.detector.vgg_weights_path,
+                det_labels=cfg.detector.labels)
+        elif synthetic or not cfg.detector.weights_path:
             detector = FakeDetector(feat_shape=(4, 4, 32))
         else:
             from object_tracking_tpu.models import YOLOv2Detector
             detector = YOLOv2Detector(cfg.detector)
+    feature_layer = cfg.detector.feature_layer
+    if cfg.detector.backend == 'vgg16' and feature_layer == 'conv_feat':
+        # YOLO-specific default → the VGG16 path's fc7 vector (the
+        # reference hardcodes that 1x1x512 shape, BaseTracker.py:60).
+        feature_layer = 'fc7'
 
     def build(split_img, split_ann):
         anns, seen = parse_annotation_dir(
@@ -114,7 +127,7 @@ def single_object_tracking(cfg, *, synthetic: bool = False,
             target_mode='heatmap' if heatmap else 'bbox',
             heatmap_size=cfg.tracker.heatmap_size,
             tracked_classes=labels, augment=cfg.train.augment,
-            seed=cfg.train.seed)
+            seed=cfg.train.seed, feature_layer=feature_layer)
 
     train_gen = build(cfg.train.train_image_folder,
                       cfg.train.train_annot_folder)
@@ -124,7 +137,7 @@ def single_object_tracking(cfg, *, synthetic: bool = False,
     out_dim = cfg.tracker.heatmap_size ** 2 if heatmap else 4
     model = TinyTracker(lstm_units=cfg.tracker.lstm_units,
                         out_dim=out_dim, pool=cfg.tracker.pool)
-    fh, fw, fc = detector.get_layer_dims(cfg.detector.feature_layer)
+    fh, fw, fc = detector.get_layer_dims(feature_layer)
     t = cfg.tracker.sequence_length
     variables = model.init(
         jax.random.PRNGKey(cfg.train.seed),
@@ -272,10 +285,23 @@ def keras_yolo_obj_detection(cfg, *, images=(), out_dir: str = '.',
                              train: bool = False):
     """Detector flow: predict over images (the reference runs 5 stock
     darknet jpgs, trainer.py:26-30) and/or train standalone (fixing the
-    reference's broken KerasYOLO.train, SURVEY.md §4)."""
+    reference's broken KerasYOLO.train, SURVEY.md §4).
+
+    When cfg.detector.cfg_path is set, the detector graph is compiled
+    from that darknet .cfg (the reference hands any cfg to the C loader,
+    config.json:4 → YOLO.py:128; here models/darknet_cfg.py compiles it)
+    and cfg.detector.weights_path is ingested in cfg order."""
     from object_tracking_tpu.models import YOLOv2Detector
 
-    detector = YOLOv2Detector(cfg.detector)
+    if cfg.detector.cfg_path:
+        from object_tracking_tpu.models.darknet_cfg import CfgDetector
+        detector = CfgDetector(
+            cfg.detector.cfg_path, weights_path=cfg.detector.weights_path,
+            labels=cfg.detector.labels or None,
+            obj_threshold=cfg.detector.obj_threshold,
+            nms_threshold=cfg.detector.nms_threshold)
+    else:
+        detector = YOLOv2Detector(cfg.detector)
     results = {}
     for path in images:
         out = os.path.join(
@@ -292,12 +318,34 @@ def keras_yolo_obj_detection(cfg, *, images=(), out_dir: str = '.',
 
         labels = cfg.detector.labels
         size = cfg.detector.image_h
+        anchors = cfg.detector.anchors
         if synthetic:
             labels = ('1', '2')
             cfg = _synthetic_dirs(cfg, (size, size), labels)
             detector = YOLOv2Detector(cfg.detector.__class__(
                 labels=labels, image_h=size, image_w=size,
                 grid_h=size // 32, grid_w=size // 32))
+        apply_fn = detector.module.apply
+        if cfg.detector.cfg_path and not synthetic:
+            # cfg-compiled detector: its [region] head supplies the grid
+            # anchors; adapt {'heads': [...]} to the step's {'netout': ...}.
+            spec = detector.specs[0]
+            if spec['kind'] != 'region':
+                raise NotImplementedError(
+                    'standalone training supports [region]-head cfgs; '
+                    'multi-head [yolo] training is not wired')
+            anchors = spec['anchors']
+            labels = detector.labels
+            size = detector.net_size[0]
+            module = detector.module
+
+            def apply_fn(variables, images, train=False, mutable=False):
+                out = module.apply(variables, images, train=train,
+                                   mutable=mutable)
+                if mutable:
+                    out, updates = out
+                    return {'netout': out['heads'][0]}, updates
+                return {'netout': out['heads'][0]}
         logs, models_dir, mesh, shard_fn = _common_setup(cfg, workdir)
         anns, _ = parse_annotation_dir(
             cfg.train.train_annot_folder, cfg.train.train_image_folder,
@@ -305,18 +353,17 @@ def keras_yolo_obj_detection(cfg, *, images=(), out_dir: str = '.',
         gen = DetectionBatches(
             anns, labels, net_h=size, net_w=size,
             grid_h=size // 32, grid_w=size // 32,
-            anchors=cfg.detector.anchors,
+            anchors=anchors,
             batch_size=min(cfg.detector.batch_size, max(len(anns), 1)),
             max_boxes=cfg.train.max_boxes_per_image,
             augment=cfg.train.augment, seed=cfg.train.seed,
             drop_last=False)
         state = TrainState.create(
-            detector.module.apply, detector.variables,
+            apply_fn, detector.variables,
             make_optimizer(cfg.train.joint_learning_rate))
         logger, ckpts, early, reduce_lr = _make_callback_stack(
             cfg, logs, os.path.join(models_dir, 'yolov2'), joint=False)
-        state = fit(state, make_detector_train_step(cfg.detector.anchors,
-                                                    cfg.loss),
+        state = fit(state, make_detector_train_step(anchors, cfg.loss),
                     gen, epochs=epochs or cfg.train.max_epochs,
                     shard_fn=shard_fn, logger=logger, checkpoints=ckpts,
                     early_stopping=early, reduce_lr=reduce_lr)
@@ -377,7 +424,10 @@ def evaluate_tracking(cfg, *, synthetic: bool = False,
         model, variables, cfg.detector.anchors, labels,
         obj_threshold=cfg.detector.obj_threshold,
         nms_threshold=cfg.detector.nms_threshold,
-        net_size=(size, size))
+        net_size=(size, size),
+        # optimal assignment for evaluation exactness; production
+        # predict defaults to the in-jit greedy matcher
+        matcher='hungarian')
     anns, _ = parse_annotation_dir(cfg.train.val_annot_folder,
                                    cfg.train.val_image_folder, labels)
     results = evaluate_tracking_dataset(predictor, anns, window=t)
@@ -456,6 +506,9 @@ def main(argv=None) -> int:
 
     pd = sub.add_parser('detect', help='standalone YOLOv2 detector')
     pd.add_argument('--image', action='append', default=[])
+    pd.add_argument('--cfg', help='darknet .cfg to compile the detector '
+                    'from (any yolov2/tiny/v3-family graph)')
+    pd.add_argument('--weights', help='darknet .weights to ingest')
     pd.add_argument('--out-dir', default='.')
     pd.add_argument('--train', action='store_true')
     pd.add_argument('--synthetic', action='store_true')
@@ -496,6 +549,10 @@ def main(argv=None) -> int:
             cfg, synthetic=args.synthetic, epochs=args.epochs,
             image_size=args.image_size)
     elif args.cmd == 'detect':
+        if args.cfg:
+            cfg.detector.cfg_path = args.cfg
+        if args.weights:
+            cfg.detector.weights_path = args.weights
         keras_yolo_obj_detection(cfg, images=args.image,
                                  out_dir=args.out_dir, train=args.train,
                                  synthetic=args.synthetic,

@@ -151,3 +151,87 @@ def test_joint_predictor_window(rng):
     for dets in out:
         for d in dets:
             assert set(d) == {'label', 'score', 'box', 'track_id'}
+
+
+# ---------------------------------------------------------------------------
+# Device-side (jittable) track assignment: ops/matching.assign_tracks
+# ---------------------------------------------------------------------------
+class TestAssignTracks:
+
+    def _step(self, ts, rows, iou=0.5, max_age=3, size=8):
+        """rows: [(cx, cy, w, h, label)] → padded fixed-shape frame."""
+        import jax.numpy as jnp
+
+        from object_tracking_tpu.ops.matching import assign_tracks
+        boxes = np.zeros((size, 4), np.float32)
+        labels = np.zeros((size,), np.int32)
+        valid = np.zeros((size,), bool)
+        for i, (cx, cy, w, h, l) in enumerate(rows):
+            boxes[i] = (cx, cy, w, h)
+            labels[i] = l
+            valid[i] = True
+        ts, ids = assign_tracks(ts, jnp.asarray(boxes),
+                                jnp.asarray(labels), jnp.asarray(valid),
+                                iou_threshold=iou, max_age=max_age)
+        return ts, np.asarray(ids)[:len(rows)]
+
+    def test_identity_continuity_and_new_ids(self):
+        from object_tracking_tpu.ops.matching import init_track_state
+        ts = init_track_state(8)
+        ts, ids1 = self._step(ts, [(0.2, 0.2, 0.1, 0.1, 0),
+                                   (0.7, 0.7, 0.1, 0.1, 1)])
+        assert sorted(ids1) == [0, 1]
+        # slight motion keeps identities; a third object gets a new id
+        ts, ids2 = self._step(ts, [(0.22, 0.21, 0.1, 0.1, 0),
+                                   (0.71, 0.7, 0.1, 0.1, 1),
+                                   (0.5, 0.1, 0.1, 0.1, 0)])
+        assert ids2[0] == ids1[0]
+        assert ids2[1] == ids1[1]
+        assert ids2[2] == 2
+
+    def test_class_aware(self):
+        from object_tracking_tpu.ops.matching import init_track_state
+        ts = init_track_state(8)
+        ts, ids1 = self._step(ts, [(0.5, 0.5, 0.2, 0.2, 0)])
+        # same box, different class: must NOT continue track 0
+        ts, ids2 = self._step(ts, [(0.5, 0.5, 0.2, 0.2, 1)])
+        assert ids2[0] != ids1[0]
+
+    def test_retirement_after_max_age(self):
+        from object_tracking_tpu.ops.matching import init_track_state
+        ts = init_track_state(8)
+        ts, ids1 = self._step(ts, [(0.5, 0.5, 0.2, 0.2, 0)], max_age=1)
+        for _ in range(3):                       # unseen > max_age
+            ts, _ = self._step(ts, [], max_age=1)
+        ts, ids2 = self._step(ts, [(0.5, 0.5, 0.2, 0.2, 0)], max_age=1)
+        assert ids2[0] != ids1[0]                # retired, fresh id
+
+    def test_table_full_gives_minus_one(self):
+        from object_tracking_tpu.ops.matching import init_track_state
+        ts = init_track_state(2)
+        rows = [(0.1 + 0.2 * i, 0.5, 0.05, 0.05, 0) for i in range(4)]
+        ts, ids = self._step(ts, rows, size=4)
+        assert (ids >= 0).sum() == 2
+        assert (ids == -1).sum() == 2
+
+    def test_matches_host_track_manager_when_separated(self):
+        """On well-separated boxes greedy == Hungarian == TrackManager."""
+        from object_tracking_tpu.ops.matching import (
+            TrackManager, init_track_state)
+        rng = np.random.RandomState(0)
+        centers = np.array([[0.2, 0.2], [0.8, 0.2], [0.5, 0.8]])
+        tm = TrackManager(iou_threshold=0.5)
+        ts = init_track_state(8)
+        id_map = {}
+        for _ in range(5):
+            centers = np.clip(
+                centers + rng.uniform(-0.02, 0.02, centers.shape), 0, 1)
+            rows = [(c[0], c[1], 0.15, 0.15, i)
+                    for i, c in enumerate(centers)]
+            ts, dev_ids = self._step(ts, rows)
+            host_ids = tm.update(
+                np.array([r[:4] for r in rows], np.float32),
+                labels=np.array([r[4] for r in rows]))
+            for d, h in zip(dev_ids, host_ids):
+                id_map.setdefault(int(d), int(h))
+                assert id_map[int(d)] == int(h)

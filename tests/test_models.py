@@ -192,3 +192,23 @@ def test_joint_model_shapes_and_grad():
     g = jax.grad(loss_fn)(v['params'])
     total = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
     assert np.isfinite(total) and total > 0
+
+
+def test_weight_exporter_inverse_of_loader():
+    """export_yolov2_weights ∘ load_yolov2_weights reproduces the file
+    byte-for-byte (modern 5-slot header) — the darknet binary is a
+    two-way interchange format here, unlike the reference's read-only
+    WeightReader (utility/utils.py:138-148)."""
+    from object_tracking_tpu.ops.weights import export_yolov2_weights
+    src = make_fake_weights_file(version=(0, 2, 0))
+    out = src + '.rt'
+    try:
+        loaded = load_yolov2_weights(src, num_classes=3)
+        seen = int(np.fromfile(src, dtype=np.uint64, count=1, offset=12)[0])
+        export_yolov2_weights(loaded, out, seen=seen)
+        np.testing.assert_array_equal(np.fromfile(src, np.uint8),
+                                      np.fromfile(out, np.uint8))
+    finally:
+        os.unlink(src)
+        if os.path.exists(out):
+            os.unlink(out)

@@ -46,3 +46,26 @@ def test_pallas_nms_all_dead(rng):
     out = nms_scores_pallas(jnp.asarray(boxes), jnp.asarray(scores),
                             0.45, interpret=True)
     assert (np.asarray(out) == 0).all()
+
+
+def test_fused_decode_nms_matches_staged_pipeline(rng):
+    """decode_nms_fused (one kernel, full lattice) == decode_netout →
+    full-N greedy NMS, on a small 4x4x3 head."""
+    from object_tracking_tpu.ops.decode import decode_netout
+    from object_tracking_tpu.ops.pallas import decode_nms_fused
+
+    anchors = np.array([0.8, 0.8, 1.5, 1.5, 2.5, 2.0], np.float32)
+    netout = rng.randn(4, 4, 3, 5 + 4).astype(np.float32)
+    # push some confidences up so candidates survive the 0.5 threshold
+    netout[..., 4] += 1.5
+
+    fb, fs = decode_nms_fused(jnp.asarray(netout), anchors,
+                              interpret=True)
+    boxes, scores = decode_netout(jnp.asarray(netout), anchors, 0.5)
+    _, ref = greedy_nms_scores(boxes, scores, 0.45, top_k=0,
+                               impl='sort')
+    assert np.asarray(fs).max() > 0          # non-degenerate case
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(boxes),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fs), np.asarray(ref),
+                               atol=1e-5)
