@@ -163,6 +163,13 @@ class JointConfig:
     # long clips — each device materializes T/time_shards activations).
     # Must divide sequence_length and equal the mesh data-axis size.
     time_shards: int = 1
+    # Total ConvLSTM depth of the tracking head (layer 0 projects the
+    # detector features; layers 1..L-1 are homogeneous F→F).
+    convlstm_layers: int = 1
+    # True runs the stacked layers pipeline-parallel over the mesh
+    # `model` axis (parallel/pipeline.py wavefront; one layer's weights
+    # per device). Requires mesh model-axis size == convlstm_layers - 1.
+    pp_layers: bool = False
 
 
 @dataclass

@@ -139,14 +139,18 @@ class JointPredictor:
         else:
             x = np.asarray(frames, np.float32)[None]
         if self._state is not None and \
-                self._state[0].shape[0] != x.shape[0]:
+                jax.tree_util.tree_leaves(self._state)[0].shape[0] \
+                != x.shape[0]:
             self.reset_state()
         if self._state is None:
             b = x.shape[0]
             gh, gw = self.net_h // 32, self.net_w // 32
-            feats = self.model.convlstm_features
-            zeros = jnp.zeros((b, gh, gw, feats), jnp.float32)
-            self._state = (zeros, zeros)
+            if hasattr(self.model, 'zero_state'):
+                self._state = self.model.zero_state(b, gh, gw)
+            else:
+                feats = self.model.convlstm_features
+                zeros = jnp.zeros((b, gh, gw, feats), jnp.float32)
+                self._state = (zeros, zeros)
         if self._track_state is None:
             self._track_state = init_track_state(self.max_tracks)
         (boxes, labels, scores, valid), dev_ids, self._state, \

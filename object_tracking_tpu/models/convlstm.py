@@ -132,3 +132,125 @@ class FusedConvLSTM(nn.Module):
         if return_state:
             return ys, final
         return ys
+
+
+class StackedConvLSTM(nn.Module):
+    """L homogeneous F→F ConvLSTM layers — the deep tracking head.
+
+    The reference's head is a single ConvLSTM2D (a commented-out Conv2D
+    alternative at MultiObjDetTracker.py:178-180 is the only depth it
+    ever considered). Stacking recurrent layers is the natural way to
+    deepen it, and on a TPU mesh it admits TRUE pipeline parallelism:
+    layer l processes timestep t while layer l+1 processes t-1 — the
+    classic stacked-RNN wavefront, which is exactly sequential semantics
+    reordered. With `pipeline=True` the stages run via
+    parallel.pipeline.pipeline_scan: each device holds ONLY its layer's
+    weights (real per-device parameter-memory scaling) and activations
+    hop to the next stage with a `ppermute` neighbour transfer over ICI.
+
+    Parameters are stacked on a leading L axis and are IDENTICAL between
+    the sequential and pipelined paths, so checkpoints are
+    interchangeable and exactness is testable (tests/test_convlstm.py).
+
+    Sequential mode supports streaming (`initial_state`/`return_state`
+    with (c, h) stacked on the layer axis); pipeline mode is a training
+    configuration and rejects `return_state` like time-sharding does.
+    """
+    features: int
+    num_layers: int
+    kernel: Tuple[int, int] = (3, 3)
+    dtype: Any = jnp.float32
+    pipeline: bool = False
+    mesh: Any = None
+    axis_name: str = 'model'
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, initial_state=None,
+                 return_state: bool = False):
+        """x (B, T, H, W, F) → (B, T, H, W, F) [, final (c, h) each
+        (L, B, H, W, F) when return_state]."""
+        b, t, h, w, f = x.shape
+        if f != self.features:
+            raise ValueError(
+                f'StackedConvLSTM is homogeneous: input channels {f} '
+                f'must equal features {self.features}')
+        L = self.num_layers
+        kh, kw = self.kernel
+
+        def forget_bias_init(key, shape, dtype=jnp.float32):
+            bias = jnp.zeros(shape, dtype)
+            return bias.at[:, f:2 * f].set(1.0)    # (L, 4F), (i,f,g,o)
+
+        def stacked_orthogonal(key, shape, dtype=jnp.float32):
+            keys = jax.random.split(key, shape[0])
+            init = nn.initializers.orthogonal()
+            return jnp.stack([init(k, shape[1:], dtype) for k in keys])
+
+        wx = self.param('input_kernel', stacked_orthogonal,
+                        (L, kh, kw, f, 4 * f), jnp.float32)
+        bx = self.param('input_bias', forget_bias_init, (L, 4 * f),
+                        jnp.float32)
+        wh = self.param('recurrent_kernel', stacked_orthogonal,
+                        (L, kh, kw, f, 4 * f), jnp.float32)
+
+        def conv(inp, kern):
+            return jax.lax.conv_general_dilated(
+                inp, kern.astype(self.dtype), (1, 1), 'SAME',
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                preferred_element_type=self.dtype)
+
+        def cell(params, carry, xt):
+            """One layer, one timestep: xt (B, H, W, F) → same shape."""
+            lwx, lbx, lwh = params
+            c_prev, h_prev = carry
+            gates = (conv(xt.astype(self.dtype), lwx)
+                     + lbx.astype(self.dtype)
+                     + conv(h_prev, lwh))
+            gi, gf, gg, go = jnp.split(gates, 4, axis=-1)
+            c_new = (jax.nn.sigmoid(gf) * c_prev
+                     + jax.nn.sigmoid(gi) * jnp.tanh(gg))
+            h_new = jax.nn.sigmoid(go) * jnp.tanh(c_new)
+            return (c_new, h_new), h_new.astype(self.dtype)
+
+        if initial_state is None:
+            zeros = jnp.zeros((L, b, h, w, f), self.dtype)
+            initial_state = (zeros, zeros)
+        else:
+            initial_state = jax.tree_util.tree_map(
+                lambda a: a.astype(self.dtype), initial_state)
+
+        xs = jnp.moveaxis(x, 1, 0).astype(self.dtype)   # (T, B, H, W, F)
+
+        if self.pipeline:
+            if return_state:
+                raise ValueError(
+                    'pipeline=True does not return the final state '
+                    '(streaming uses the sequential path)')
+            if self.mesh is None:
+                raise ValueError('pipeline=True requires a mesh')
+            if self.mesh.shape[self.axis_name] != L:
+                raise ValueError(
+                    f'num_layers={L} must equal the mesh '
+                    f'{self.axis_name!r} axis size '
+                    f'{self.mesh.shape[self.axis_name]}')
+            from object_tracking_tpu.parallel.pipeline import pipeline_scan
+            ys = pipeline_scan(cell, (wx, bx, wh), xs, self.mesh,
+                               axis_name=self.axis_name,
+                               carry_init=initial_state)
+            return jnp.moveaxis(ys, 0, 1)
+
+        # Sequential composition (same params): layer by layer.
+        finals_c, finals_h = [], []
+        for layer in range(L):
+            params_l = (wx[layer], bx[layer], wh[layer])
+            carry0 = jax.tree_util.tree_map(lambda a: a[layer],
+                                            initial_state)
+            carry, ys = jax.lax.scan(
+                lambda cr, xt: cell(params_l, cr, xt), carry0, xs)
+            xs = ys
+            finals_c.append(carry[0])
+            finals_h.append(carry[1])
+        out = jnp.moveaxis(xs, 0, 1)
+        if return_state:
+            return out, (jnp.stack(finals_c), jnp.stack(finals_h))
+        return out

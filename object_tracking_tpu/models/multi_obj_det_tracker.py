@@ -25,7 +25,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from object_tracking_tpu.models.convlstm import FusedConvLSTM
+from object_tracking_tpu.models.convlstm import FusedConvLSTM, StackedConvLSTM
 from object_tracking_tpu.models.darknet19 import Darknet19
 
 
@@ -50,7 +50,26 @@ class MultiObjDetTracker(nn.Module):
     # T/time_shards of the recurrent activations). Requires `mesh`;
     # see models/convlstm.py and parallel/context.py.
     time_shards: int = 1
+    # Total ConvLSTM depth: layer 0 is the heterogeneous input-projection
+    # FusedConvLSTM; layers 1..L-1 are a homogeneous StackedConvLSTM.
+    # With pp_layers=True the stacked layers run PIPELINE-PARALLEL over
+    # the mesh `model` axis (wavefront + ppermute, one layer's weights
+    # per device — parallel/pipeline.py); the mesh model-axis size must
+    # equal convlstm_layers - 1.
+    convlstm_layers: int = 1
+    pp_layers: bool = False
     mesh: Any = None
+
+    def zero_state(self, batch: int, grid_h: int, grid_w: int):
+        """Initial streaming state for `initial_state`: layer-0 (c, h)
+        plus, for deep heads, the stacked layers' (c, h)."""
+        z = jnp.zeros((batch, grid_h, grid_w, self.convlstm_features),
+                      jnp.float32)
+        if self.convlstm_layers > 1:
+            zs = jnp.zeros((self.convlstm_layers - 1, batch, grid_h,
+                            grid_w, self.convlstm_features), jnp.float32)
+            return ((z, z), (zs, zs))
+        return (z, z)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False,
@@ -89,15 +108,31 @@ class MultiObjDetTracker(nn.Module):
         # Split-projection ConvLSTM: input conv MXU-batched over B·T, only
         # the recurrent conv + fused gates stay in the sequential scan
         # (models/convlstm.py; Keras ConvLSTM2D equivalent).
+        deep = self.convlstm_layers > 1
+        state0 = initial_state[0] if (deep and initial_state is not None) \
+            else (None if deep else initial_state)
         lstm = FusedConvLSTM(self.convlstm_features, (3, 3),
                              dtype=self.dtype,
                              time_shards=self.time_shards,
                              mesh=self.mesh, name='tconv_lstm')
         if return_state:
-            z, state = lstm(z, initial_state=initial_state,
-                            return_state=True)
+            z, state = lstm(z, initial_state=state0, return_state=True)
         else:
-            z = lstm(z, initial_state=initial_state)
+            z = lstm(z, initial_state=state0)
+
+        if deep:
+            stacked = StackedConvLSTM(
+                self.convlstm_features, self.convlstm_layers - 1, (3, 3),
+                dtype=self.dtype, pipeline=self.pp_layers,
+                mesh=self.mesh, name='tconv_stack')
+            stacked_state0 = (initial_state[1]
+                              if initial_state is not None else None)
+            if return_state:
+                z, stacked_state = stacked(z, initial_state=stacked_state0,
+                                           return_state=True)
+                state = (state, stacked_state)
+            else:
+                z = stacked(z, initial_state=stacked_state0)
 
         if self.moe_experts:
             from object_tracking_tpu.models.moe_head import MoEGridHead

@@ -225,7 +225,10 @@ def simult_multi_obj_detection_tracking(cfg, *, synthetic: bool = False,
         dtype=jnp.dtype(cfg.joint.compute_dtype), remat=cfg.joint.remat,
         moe_experts=cfg.joint.moe_experts,
         moe_hidden=cfg.joint.moe_hidden,
-        time_shards=ts, mesh=mesh if ts > 1 else None)
+        convlstm_layers=cfg.joint.convlstm_layers,
+        pp_layers=cfg.joint.pp_layers,
+        time_shards=ts,
+        mesh=mesh if (ts > 1 or cfg.joint.pp_layers) else None)
     t = cfg.joint.sequence_length
     variables = model.init(
         jax.random.PRNGKey(cfg.train.seed),
@@ -405,7 +408,8 @@ def evaluate_tracking(cfg, *, synthetic: bool = False,
         convlstm_features=cfg.joint.convlstm_features,
         dtype=jnp.dtype(cfg.joint.compute_dtype),
         moe_experts=cfg.joint.moe_experts,
-        moe_hidden=cfg.joint.moe_hidden)
+        moe_hidden=cfg.joint.moe_hidden,
+        convlstm_layers=cfg.joint.convlstm_layers)
     t = window or cfg.joint.sequence_length
     variables = model.init(
         jax.random.PRNGKey(cfg.train.seed),

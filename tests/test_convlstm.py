@@ -4,6 +4,7 @@ per-step reference computed with the same parameters."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from object_tracking_tpu.models.convlstm import FusedConvLSTM
 
@@ -149,3 +150,94 @@ def test_joint_model_time_sharded_train_step():
     sharded_batch = shard_batch(mesh, batch, axis=1)
     new_state, metrics = step(state, sharded_batch)
     assert np.isfinite(float(metrics['loss']))
+
+
+# ---------------------------------------------------------------------------
+# StackedConvLSTM: deep tracking head, sequential vs pipeline-parallel
+# ---------------------------------------------------------------------------
+class TestStackedConvLSTM:
+
+    def _make(self, pipeline=False, mesh=None, L=4, f=8):
+        from object_tracking_tpu.models.convlstm import StackedConvLSTM
+        return StackedConvLSTM(f, L, (3, 3), pipeline=pipeline,
+                               mesh=mesh, axis_name='model')
+
+    def test_pipeline_matches_sequential(self):
+        """Same params: wavefront pipeline over the mesh 'model' axis ==
+        plain layer-by-layer scan (exact, not approximate)."""
+        import jax
+        import jax.numpy as jnp
+
+        from object_tracking_tpu.config import MeshConfig
+        from object_tracking_tpu.parallel import make_mesh
+        mesh = make_mesh(MeshConfig(model_parallel=4))
+        b, t, h, w, f = 2, 6, 4, 4, 8
+        x = jnp.asarray(np.random.RandomState(0).rand(
+            b, t, h, w, f).astype(np.float32))
+        seq = self._make(L=4, f=f)
+        pipe = self._make(pipeline=True, mesh=mesh, L=4, f=f)
+        variables = seq.init(jax.random.PRNGKey(0), x)
+        y_seq = seq.apply(variables, x)
+        y_pipe = pipe.apply(variables, x)        # identical param tree
+        np.testing.assert_allclose(np.asarray(y_seq),
+                                   np.asarray(y_pipe), atol=1e-5)
+
+    def test_streaming_state_equivalence(self):
+        """Full-clip scan == two half-windows with carried stacked state."""
+        import jax
+        import jax.numpy as jnp
+        m = self._make(L=3, f=8)
+        x = jnp.asarray(np.random.RandomState(1).rand(
+            1, 8, 4, 4, 8).astype(np.float32))
+        variables = m.init(jax.random.PRNGKey(0), x)
+        full = m.apply(variables, x)
+        y1, st = m.apply(variables, x[:, :4], return_state=True)
+        y2, _ = m.apply(variables, x[:, 4:], initial_state=st,
+                        return_state=True)
+        np.testing.assert_allclose(
+            np.asarray(full), np.concatenate([y1, y2], axis=1),
+            atol=1e-5)
+
+    def test_wrong_width_rejected(self):
+        import jax
+        import jax.numpy as jnp
+        m = self._make(L=2, f=8)
+        with pytest.raises(ValueError):
+            m.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 4, 4, 5)))
+
+
+def test_joint_model_deep_head_pipeline_matches_sequential():
+    """MultiObjDetTracker convlstm_layers=5 (1 + 4 stacked): pp_layers
+    over the 4-way model axis reproduces the sequential deep head, and
+    streaming predict state round-trips."""
+    import jax
+    import jax.numpy as jnp
+
+    from object_tracking_tpu.config import MeshConfig
+    from object_tracking_tpu.models import MultiObjDetTracker
+    from object_tracking_tpu.parallel import make_mesh
+
+    mesh = make_mesh(MeshConfig(model_parallel=4))
+    kw = dict(num_classes=2, num_anchors=2, convlstm_features=8,
+              convlstm_layers=5)
+    seq = MultiObjDetTracker(**kw)
+    pipe = MultiObjDetTracker(**kw, pp_layers=True, mesh=mesh)
+    x = jnp.asarray(np.random.RandomState(0).rand(
+        1, 4, 64, 64, 3).astype(np.float32))
+    variables = seq.init(jax.random.PRNGKey(0), x)
+    out_seq = seq.apply(variables, x)
+    out_pipe = pipe.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out_seq['track']),
+                               np.asarray(out_pipe['track']), atol=1e-4)
+
+    # streaming: zero_state + two windows == one window of the full clip
+    st = seq.zero_state(1, 2, 2)
+    out1 = seq.apply(variables, x[:, :2], initial_state=st,
+                     return_state=True)
+    out2 = seq.apply(variables, x[:, 2:],
+                     initial_state=out1['state'], return_state=True)
+    full = seq.apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(full['track']),
+        np.concatenate([out1['track'], out2['track']], axis=1),
+        atol=1e-4)
