@@ -147,8 +147,15 @@ def bench_matcher(iters: int):
         return jax.lax.scan(frame, ts, (bb, ll, vv))
 
     ts0 = init_track_state(64)
-    dt_greedy = _timeit(lambda: greedy_window(ts0, d_boxes, d_labels,
-                                              d_valid)[1], iters)
+    # block per call: per-window latency including one dispatch, the
+    # honest comparison against the host loop's per-frame pulls
+    jax.block_until_ready(greedy_window(ts0, d_boxes, d_labels,
+                                        d_valid)[1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        jax.block_until_ready(greedy_window(ts0, d_boxes, d_labels,
+                                            d_valid)[1])
+    dt_greedy = (time.perf_counter() - t0) / iters
 
     def host_window():
         tm = TrackManager()

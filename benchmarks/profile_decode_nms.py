@@ -20,13 +20,25 @@ import time
 sys.path.insert(0, __file__.rsplit('/', 2)[0])
 
 
-def _timeit(fn, iters: int) -> float:
+def _timeit_chain(make_body, netout, iters: int) -> float:
+    """Per-op time from a data-dependent in-jit chain: `iters` back-to-
+    back executions inside ONE jitted fori_loop (each round's input is
+    perturbed by the previous round's output), one final block. Per-call
+    dispatch through the axon tunnel costs ~900 µs, so naive call loops
+    measure RTT, not compute — see .claude/skills/verify."""
     import jax
-    jax.block_until_ready(fn())            # compile
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(n):
+        def body(i, acc):
+            out = make_body(acc)
+            return acc + 1e-12 * out
+        return jax.lax.fori_loop(0, iters, body, n)
+
+    jax.block_until_ready(chain(netout))        # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
+    jax.block_until_ready(chain(netout))
     return (time.perf_counter() - t0) / iters
 
 
@@ -53,40 +65,23 @@ def main() -> None:
         netout = jnp.asarray(
             rng.randn(13, 13, 5, 5 + c).astype(np.float32))
 
-        pipeline = jax.jit(lambda n: decode_and_nms(n, anchors))
-        decode_only = jax.jit(lambda n: decode_netout(n, anchors, 0.5))
-
-        @jax.jit
-        def topk_only(n):
-            boxes, scores = decode_netout(n, anchors, 0.5)
-            best = jnp.max(scores, axis=-1)
-            _, idx = jax.lax.top_k(best, 128)
-            return boxes[idx], scores[idx]
-
-        b128, s128 = jax.block_until_ready(topk_only(netout))
-        nms_only = jax.jit(
-            lambda b, s: nms_scores_pallas(b, s, 0.45))
-        fused = jax.jit(lambda n: decode_nms_fused(n, anchors))
-
-        rows = {
-            'pipeline_decode_topk_pallasnms':
-                _timeit(lambda: pipeline(netout), args.iters),
+        bodies = {
             'decode_only':
-                _timeit(lambda: decode_only(netout), args.iters),
-            'decode_plus_topk':
-                _timeit(lambda: topk_only(netout), args.iters),
-            'pallas_nms_only_k128':
-                _timeit(lambda: nms_only(b128, s128), args.iters),
+                lambda n: jnp.sum(decode_netout(n, anchors, 0.5)[1]),
+            'pipeline_decode_topk_pallasnms':
+                lambda n: jnp.sum(decode_and_nms(n, anchors)[2]),
             'fused_pallas_decode_nms':
-                _timeit(lambda: fused(netout), args.iters),
+                lambda n: jnp.sum(decode_nms_fused(n, anchors)[1]),
         }
-        print(json.dumps({'classes': c, **{k: round(v * 1e6, 1)
-                                           for k, v in rows.items()},
-                          'unit': 'us'}))
+        for name, body in bodies.items():
+            dt = _timeit_chain(body, netout, args.iters)
+            print(json.dumps({'classes': c, 'bench': name,
+                              'us': round(dt * 1e6, 1),
+                              'iters': args.iters}), flush=True)
 
-        # equivalence check: fused output == pipeline output
+        # equivalence check: fused output == full-N staged pipeline
+        fused = jax.jit(lambda n: decode_nms_fused(n, anchors))
         fb, fs = jax.block_until_ready(fused(netout))
-        pb, ps = pipeline(netout)[:2]
         pl_full = greedy_nms_scores(*decode_netout(netout, anchors, 0.5),
                                     0.45, top_k=0, impl='sort')
         print(json.dumps({

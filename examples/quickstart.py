@@ -13,6 +13,9 @@ Flows (reference parity: /root/reference/trainer.py:8-30):
   3. simult_multi_obj_detection_tracking — joint YOLOv2+ConvLSTM training
   4. keras_yolo_obj_detection    — standalone detector train + predict
   5. evaluate_tracking           — CLEAR-MOT metrics over the val split
+  6. track_video                 — tracked-video inference with drawn IDs
+  7. golden detect               — committed darknet .weights fixture →
+                                   real detections through the cfg compiler
 
 For real data, point `Config.train.*_folder` at PASCAL-VOC XML dirs (use
 `data/converters.py` for MOT17/VisualTB) and raise the model sizes back
@@ -63,8 +66,34 @@ def main() -> None:
     keras_yolo_obj_detection(tiny_config(), synthetic=True, epochs=1,
                              workdir=work, train=True)
 
-    print('== 5/5 tracking evaluation (CLEAR-MOT)')
+    print('== 5/7 tracking evaluation (CLEAR-MOT)')
     evaluate_tracking(tiny_config(), synthetic=True, window=3)
+
+    print('== 6/7 tracked-video inference (drawn boxes + persistent ids)')
+    import os
+
+    from object_tracking_tpu.data.synthetic import make_synthetic_dataset
+    from object_tracking_tpu.trainer import track_video
+    cfg = tiny_config()
+    cfg.joint.labels = ('1',)
+    img_dir, _ = make_synthetic_dataset(
+        os.path.join(work, 'clip'), num_videos=1, frames_per_video=6,
+        image_size=(64, 64), labels=('1',))
+    track_video(cfg, frames_dir=os.path.join(img_dir, 'video_00'),
+                out_dir=os.path.join(work, 'tracked'))
+
+    print('== 7/7 golden fixture: darknet binary -> real detections')
+    fixtures = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'tests', 'fixtures')
+    if os.path.exists(os.path.join(fixtures, 'yolov2-micro.weights')):
+        from object_tracking_tpu.models.darknet_cfg import CfgDetector
+        det = CfgDetector(os.path.join(fixtures, 'yolov2-micro.cfg'),
+                          weights_path=os.path.join(
+                              fixtures, 'yolov2-micro.weights'),
+                          labels=('1', '2'))
+        for scene in ('scene_0.jpg', 'scene_1.jpg'):
+            print(' ', scene,
+                  det.detect(os.path.join(fixtures, scene)))
 
     print('== all flows complete')
 

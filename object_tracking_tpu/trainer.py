@@ -171,7 +171,8 @@ def single_object_tracking(cfg, *, synthetic: bool = False,
 def simult_multi_obj_detection_tracking(cfg, *, synthetic: bool = False,
                                         epochs: Optional[int] = None,
                                         workdir: Optional[str] = None,
-                                        image_size: Optional[int] = None):
+                                        image_size: Optional[int] = None,
+                                        profile_dir: Optional[str] = None):
     import jax
     import jax.numpy as jnp
 
@@ -262,17 +263,25 @@ def simult_multi_obj_detection_tracking(cfg, *, synthetic: bool = False,
                                   sharding=replicated_sharding(mesh))
         if at:
             print(f'resumed from checkpoint step {at}')
-    state = fit(state,
-                make_joint_train_step(cfg.detector.anchors, cfg.loss,
-                                      cfg.joint),
-                train_gen,
-                eval_step=make_joint_eval_step(cfg.detector.anchors,
-                                               cfg.loss, cfg.joint),
-                val_batches=val_gen,
-                epochs=epochs or cfg.train.max_epochs,
-                shard_fn=shard_fn, logger=logger, checkpoints=ckpts,
-                early_stopping=early, reduce_lr=reduce_lr,
-                log_every_steps=cfg.train.log_every_steps)
+    import contextlib
+    trace_ctx = contextlib.nullcontext()
+    if profile_dir:
+        # jax.profiler trace over the whole fit: device ops + host spans,
+        # viewable in TensorBoard's profile plugin (SURVEY §5 tracing).
+        from object_tracking_tpu.utils.profiling import profile_trace
+        trace_ctx = profile_trace(profile_dir)
+    with trace_ctx:
+        state = fit(state,
+                    make_joint_train_step(cfg.detector.anchors, cfg.loss,
+                                          cfg.joint),
+                    train_gen,
+                    eval_step=make_joint_eval_step(cfg.detector.anchors,
+                                                   cfg.loss, cfg.joint),
+                    val_batches=val_gen,
+                    epochs=epochs or cfg.train.max_epochs,
+                    shard_fn=shard_fn, logger=logger, checkpoints=ckpts,
+                    early_stopping=early, reduce_lr=reduce_lr,
+                    log_every_steps=cfg.train.log_every_steps)
     logger.close()
     ckpts.close()
     return state
@@ -481,6 +490,80 @@ def convert_dataset(kind: str, src: str, out_dir: str, *,
 
 
 # --------------------------------------------------------------------------
+# Flow 5: tracked-video inference (the reference's MultiObjDetTracker
+# .predict capability, which crashes as shipped — MultiObjDetTracker.py:
+# 295-315 — and has no CLI)
+# --------------------------------------------------------------------------
+def track_video(cfg, *, frames_dir: str, out_dir: str,
+                checkpoint_dir: Optional[str] = None,
+                window: Optional[int] = None,
+                matcher: str = 'greedy') -> list:
+    """Run the joint model over a directory of frames, drawing per-track
+    colored boxes with persistent IDs; returns the per-frame detections."""
+    import jax
+    import jax.numpy as jnp
+
+    from object_tracking_tpu.inference import JointPredictor
+    from object_tracking_tpu.models import MultiObjDetTracker
+    from object_tracking_tpu.training import (
+        CheckpointManager, TrainState, make_optimizer)
+
+    labels = cfg.joint.labels
+    size = cfg.detector.image_h
+    t = window or cfg.joint.sequence_length
+    model = MultiObjDetTracker(
+        num_classes=len(labels), num_anchors=cfg.detector.num_anchors,
+        convlstm_features=cfg.joint.convlstm_features,
+        dtype=jnp.dtype(cfg.joint.compute_dtype),
+        moe_experts=cfg.joint.moe_experts,
+        moe_hidden=cfg.joint.moe_hidden,
+        convlstm_layers=cfg.joint.convlstm_layers)
+    variables = model.init(
+        jax.random.PRNGKey(cfg.train.seed),
+        jnp.zeros((1, t, size, size, 3)))
+    if checkpoint_dir:
+        state = TrainState.create(model.apply, variables,
+                                  make_optimizer(1e-4))
+        ckpts = CheckpointManager(checkpoint_dir)
+        state, at = ckpts.restore(state)
+        ckpts.close()
+        if at:
+            print(f'restored checkpoint step {at}')
+            variables = state.variables
+    predictor = JointPredictor(
+        model, variables, cfg.detector.anchors, labels,
+        obj_threshold=cfg.detector.obj_threshold,
+        nms_threshold=cfg.detector.nms_threshold,
+        net_size=(size, size), matcher=matcher)
+    if os.path.isfile(frames_dir):
+        # a video file: decode to frames first (cv2), then track
+        import cv2
+        cap = cv2.VideoCapture(frames_dir)
+        if not cap.isOpened():
+            raise FileNotFoundError(frames_dir)
+        tmp = tempfile.mkdtemp(prefix='ott_video_')
+        i = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            cv2.imwrite(os.path.join(tmp, f'{i:06d}.jpg'), frame)
+            i += 1
+        cap.release()
+        frames_dir = tmp
+    exts = ('.jpg', '.jpeg', '.png')
+    paths = sorted(
+        os.path.join(frames_dir, f) for f in os.listdir(frames_dir)
+        if f.lower().endswith(exts))
+    if not paths:
+        raise FileNotFoundError(f'no frames in {frames_dir}')
+    results = predictor.predict_video(paths, window=t, draw_dir=out_dir)
+    n_tracks = len({d['track_id'] for dets in results for d in dets})
+    print(f'{len(paths)} frames → {out_dir} ({n_tracks} tracks)')
+    return results
+
+
+# --------------------------------------------------------------------------
 def _load_cfg(args):
     from object_tracking_tpu.config import Config, load_config
     cfg = load_config(args.config) if args.config else Config()
@@ -507,6 +590,8 @@ def main(argv=None) -> int:
     pj.add_argument('--synthetic', action='store_true')
     pj.add_argument('--epochs', type=int)
     pj.add_argument('--image-size', type=int, default=None)
+    pj.add_argument('--profile-dir', help='capture a jax.profiler trace '
+                    'of the fit loop into this directory')
 
     pd = sub.add_parser('detect', help='standalone YOLOv2 detector')
     pd.add_argument('--image', action='append', default=[])
@@ -517,6 +602,17 @@ def main(argv=None) -> int:
     pd.add_argument('--train', action='store_true')
     pd.add_argument('--synthetic', action='store_true')
     pd.add_argument('--epochs', type=int)
+
+    pt = sub.add_parser('track', help='run the joint tracker over a '
+                        'frame directory, drawing per-track boxes')
+    pt.add_argument('--frames', required=True,
+                    help='directory of frames OR a video file (decoded '
+                    'via cv2)')
+    pt.add_argument('--out-dir', default='tracked')
+    pt.add_argument('--checkpoint-dir')
+    pt.add_argument('--window', type=int)
+    pt.add_argument('--matcher', choices=['greedy', 'hungarian'],
+                    default='greedy')
 
     pe = sub.add_parser('eval', help='CLEAR-MOT tracking evaluation')
     pe.add_argument('--synthetic', action='store_true')
@@ -551,7 +647,7 @@ def main(argv=None) -> int:
     elif args.cmd == 'joint':
         simult_multi_obj_detection_tracking(
             cfg, synthetic=args.synthetic, epochs=args.epochs,
-            image_size=args.image_size)
+            image_size=args.image_size, profile_dir=args.profile_dir)
     elif args.cmd == 'detect':
         if args.cfg:
             cfg.detector.cfg_path = args.cfg
@@ -561,6 +657,10 @@ def main(argv=None) -> int:
                                  out_dir=args.out_dir, train=args.train,
                                  synthetic=args.synthetic,
                                  epochs=args.epochs)
+    elif args.cmd == 'track':
+        track_video(cfg, frames_dir=args.frames, out_dir=args.out_dir,
+                    checkpoint_dir=args.checkpoint_dir,
+                    window=args.window, matcher=args.matcher)
     elif args.cmd == 'eval':
         evaluate_tracking(cfg, synthetic=args.synthetic,
                           checkpoint_dir=args.checkpoint_dir,

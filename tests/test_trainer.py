@@ -119,14 +119,35 @@ def test_cli_main_joint(tiny_cfg, tmp_path, monkeypatch):
     cfg_path = tmp_path / 'cfg.json'
     calls = {}
 
-    def fake_joint(cfg, *, synthetic, epochs, image_size):
+    def fake_joint(cfg, *, synthetic, epochs, image_size,
+                   profile_dir=None):
         calls['synthetic'] = synthetic
         calls['epochs'] = epochs
         calls['image_size'] = image_size
+        calls['profile_dir'] = profile_dir
 
     monkeypatch.setattr(trainer, 'simult_multi_obj_detection_tracking',
                         fake_joint)
     assert trainer.main(['joint', '--synthetic', '--epochs', '1',
                          '--image-size', '64']) == 0
-    assert calls == {'synthetic': True, 'epochs': 1, 'image_size': 64}
+    assert calls == {'synthetic': True, 'epochs': 1, 'image_size': 64,
+                     'profile_dir': None}
     assert not cfg_path.exists()
+
+
+def test_track_cli_flow(tiny_cfg, tmp_path):
+    """`track` subcommand: frames dir in → drawn frames + persistent
+    track ids out (the reference's predict has no CLI and crashes as
+    shipped, MultiObjDetTracker.py:295-315)."""
+    from object_tracking_tpu.data.synthetic import make_synthetic_dataset
+    from object_tracking_tpu.trainer import track_video
+
+    tiny_cfg.joint.labels = ('1',)
+    img_dir, _ = make_synthetic_dataset(
+        str(tmp_path / 'clip'), num_videos=1, frames_per_video=5,
+        image_size=(64, 64), labels=('1',))
+    frames = os.path.join(img_dir, 'video_00')
+    out = str(tmp_path / 'drawn')
+    results = track_video(tiny_cfg, frames_dir=frames, out_dir=out)
+    assert len(results) == 5                     # every frame covered
+    assert len(os.listdir(out)) == 5
