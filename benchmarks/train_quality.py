@@ -30,7 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 def run(epochs: int = 40, size: int = 160, videos: int = 24,
         frames: int = 16, seed: int = 0, workdir: str | None = None,
-        batch_size: int = 4, lr: float = 3e-4) -> dict:
+        batch_size: int = 4, lr: float = 2e-4,
+        grad_clip: float = 1.0, warm_up_epochs: int = 2,
+        record: bool = False) -> dict:
     from object_tracking_tpu.config import Config
     from object_tracking_tpu.data.synthetic import make_synthetic_dataset
     from object_tracking_tpu.trainer import (
@@ -57,6 +59,12 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
     cfg.train.val_image_folder, cfg.train.val_annot_folder = (
         val_img, val_ann)
     cfg.train.joint_learning_rate = lr
+    # From-scratch YOLO needs both (the reference always fine-tunes from
+    # pretrained darknet weights): clip the exploding exp(wh) gradients
+    # and pin early boxes to the anchors (warm-up) before free training.
+    cfg.train.grad_clip_norm = grad_clip
+    steps_per_epoch = max(videos * (frames - 3) // batch_size, 1)
+    cfg.loss.warm_up_batches = warm_up_epochs * steps_per_epoch
     cfg.train.max_epochs = epochs
     cfg.train.early_stop_patience = max(epochs, 20)  # run the clock out
     cfg.train.augment = True
@@ -77,10 +85,13 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
            'passed': bool(overall['map'] >= 0.5
                           and overall['mota'] > 0.0)}
     print(json.dumps(out))
-    qpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         'QUALITY.json')
-    with open(qpath, 'w') as f:
-        json.dump(out, f, indent=1)
+    if record:
+        # benchmarks/QUALITY.json feeds report.py's quality table — only
+        # the CLI (full-scale) run writes it, never test miniatures.
+        qpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             'QUALITY.json')
+        with open(qpath, 'w') as f:
+            json.dump(out, f, indent=1)
     return out
 
 
@@ -91,8 +102,11 @@ if __name__ == '__main__':
     p.add_argument('--videos', type=int, default=24)
     p.add_argument('--frames', type=int, default=16)
     p.add_argument('--batch-size', type=int, default=4)
-    p.add_argument('--lr', type=float, default=3e-4)
+    p.add_argument('--lr', type=float, default=2e-4)
+    p.add_argument('--clip', type=float, default=1.0)
+    p.add_argument('--warm-up-epochs', type=int, default=2)
     p.add_argument('--workdir')
     a = p.parse_args()
     run(epochs=a.epochs, size=a.size, videos=a.videos, frames=a.frames,
-        batch_size=a.batch_size, lr=a.lr, workdir=a.workdir)
+        batch_size=a.batch_size, lr=a.lr, grad_clip=a.clip,
+        warm_up_epochs=a.warm_up_epochs, workdir=a.workdir, record=True)

@@ -184,6 +184,11 @@ class TrainConfig:
     max_epochs: int = 100
     learning_rate: float = 1e-3          # TinyTracker.py:40 (Adam)
     joint_learning_rate: float = 1e-4    # MultiObjDetTracker.py:274
+    # Global-norm gradient clipping (optax.clip_by_global_norm); None
+    # disables. From-scratch YOLO training needs it: the exp(tw) box
+    # decode in the loss can explode early (no reference analogue — the
+    # reference always starts from pretrained darknet weights).
+    grad_clip_norm: Optional[float] = None
     early_stop_patience: int = 10        # BaseTracker.py:82-86
     reduce_lr_factor: float = 0.5        # BaseTracker.py:88-94
     reduce_lr_patience: int = 5

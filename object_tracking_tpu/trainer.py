@@ -143,7 +143,9 @@ def single_object_tracking(cfg, *, synthetic: bool = False,
         jax.random.PRNGKey(cfg.train.seed),
         jnp.zeros((1, t, fh, fw, fc)), jnp.zeros((1, t, out_dim)))
     state = TrainState.create(
-        model.apply, variables, make_optimizer(cfg.train.learning_rate))
+        model.apply, variables,
+        make_optimizer(cfg.train.learning_rate,
+                       grad_clip_norm=cfg.train.grad_clip_norm))
 
     logger, ckpts, early, reduce_lr = _make_callback_stack(
         cfg, logs, os.path.join(models_dir, 'tiny_tracker'), joint=False)
@@ -253,7 +255,8 @@ def simult_multi_obj_detection_tracking(cfg, *, synthetic: bool = False,
 
     state = TrainState.create(
         model.apply, variables,
-        make_optimizer(cfg.train.joint_learning_rate))
+        make_optimizer(cfg.train.joint_learning_rate,
+                       grad_clip_norm=cfg.train.grad_clip_norm))
 
     logger, ckpts, early, reduce_lr = _make_callback_stack(
         cfg, logs, os.path.join(models_dir, 'multi_obj'), joint=True)
@@ -372,7 +375,8 @@ def keras_yolo_obj_detection(cfg, *, images=(), out_dir: str = '.',
             drop_last=False)
         state = TrainState.create(
             apply_fn, detector.variables,
-            make_optimizer(cfg.train.joint_learning_rate))
+            make_optimizer(cfg.train.joint_learning_rate,
+                       grad_clip_norm=cfg.train.grad_clip_norm))
         logger, ckpts, early, reduce_lr = _make_callback_stack(
             cfg, logs, os.path.join(models_dir, 'yolov2'), joint=False)
         state = fit(state, make_detector_train_step(anchors, cfg.loss),
