@@ -151,3 +151,26 @@ def test_track_cli_flow(tiny_cfg, tmp_path):
     results = track_video(tiny_cfg, frames_dir=frames, out_dir=out)
     assert len(results) == 5                     # every frame covered
     assert len(os.listdir(out)) == 5
+
+
+def test_track_cli_video_file(tiny_cfg, tmp_path):
+    """track accepts a VIDEO FILE: cv2-decoded to frames, then tracked."""
+    import cv2
+    import numpy as np
+
+    tiny_cfg.joint.labels = ('1',)
+    path = str(tmp_path / 'clip.avi')
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*'MJPG'), 5,
+                         (64, 64))
+    assert wr.isOpened()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        frame = rng.randint(0, 80, (64, 64, 3), np.uint8)
+        frame[20:36, 10 + 4 * i:26 + 4 * i] = (0, 200, 255)
+        wr.write(frame)
+    wr.release()
+    out = str(tmp_path / 'drawn')
+    from object_tracking_tpu.trainer import track_video
+    results = track_video(tiny_cfg, frames_dir=path, out_dir=out)
+    assert len(results) == 4
+    assert len(os.listdir(out)) == 4
