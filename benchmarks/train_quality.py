@@ -32,7 +32,7 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
         frames: int = 16, seed: int = 0, workdir: str | None = None,
         batch_size: int = 4, lr: float = 2e-4,
         grad_clip: float = 1.0, warm_up_epochs: int = 2,
-        record: bool = False) -> dict:
+        record: bool = False, eval_only: bool = False) -> dict:
     from object_tracking_tpu.config import Config
     from object_tracking_tpu.data.synthetic import make_synthetic_dataset
     from object_tracking_tpu.trainer import (
@@ -69,7 +69,12 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
     cfg.train.early_stop_patience = max(epochs, 20)  # run the clock out
     cfg.train.augment = True
 
-    simult_multi_obj_detection_tracking(cfg, workdir=wd)
+    # eval_only re-runs just the held-out evaluation against whatever
+    # checkpoint an earlier (possibly interrupted) training run left in
+    # `workdir` — training checkpoints every epoch, so a killed run is
+    # still measurable.
+    if not eval_only:
+        simult_multi_obj_detection_tracking(cfg, workdir=wd)
     results = evaluate_tracking(
         cfg, checkpoint_dir=os.path.join(
             wd, cfg.train.saved_model_dir, 'multi_obj'),
@@ -106,7 +111,11 @@ if __name__ == '__main__':
     p.add_argument('--clip', type=float, default=1.0)
     p.add_argument('--warm-up-epochs', type=int, default=2)
     p.add_argument('--workdir')
+    p.add_argument('--eval-only', action='store_true',
+                   help='skip training; evaluate the checkpoint an '
+                   'earlier run left in --workdir')
     a = p.parse_args()
     run(epochs=a.epochs, size=a.size, videos=a.videos, frames=a.frames,
         batch_size=a.batch_size, lr=a.lr, grad_clip=a.clip,
-        warm_up_epochs=a.warm_up_epochs, workdir=a.workdir, record=True)
+        warm_up_epochs=a.warm_up_epochs, workdir=a.workdir, record=True,
+        eval_only=a.eval_only)

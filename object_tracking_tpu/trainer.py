@@ -501,9 +501,13 @@ def convert_dataset(kind: str, src: str, out_dir: str, *,
 def track_video(cfg, *, frames_dir: str, out_dir: str,
                 checkpoint_dir: Optional[str] = None,
                 window: Optional[int] = None,
-                matcher: str = 'greedy') -> list:
+                matcher: str = 'greedy',
+                out_video: Optional[str] = None,
+                fps: float = 25.0) -> list:
     """Run the joint model over a directory of frames, drawing per-track
-    colored boxes with persistent IDs; returns the per-frame detections."""
+    colored boxes with persistent IDs; returns the per-frame detections.
+    `out_video` additionally assembles the drawn frames into one video
+    file (container/codec chosen by extension, e.g. `.mp4`/`.avi`)."""
     import jax
     import jax.numpy as jnp
 
@@ -564,7 +568,41 @@ def track_video(cfg, *, frames_dir: str, out_dir: str,
     results = predictor.predict_video(paths, window=t, draw_dir=out_dir)
     n_tracks = len({d['track_id'] for dets in results for d in dets})
     print(f'{len(paths)} frames → {out_dir} ({n_tracks} tracks)')
+    if out_video:
+        _write_video(out_dir, paths, out_video, fps)
+        print(f'video → {out_video}')
     return results
+
+
+def _write_video(drawn_dir: str, frame_paths, out_path: str,
+                 fps: float) -> None:
+    """Assemble the drawn frames (named after their sources in
+    `drawn_dir`) into one video file via cv2.VideoWriter."""
+    import cv2
+    first = cv2.imread(os.path.join(
+        drawn_dir, os.path.basename(frame_paths[0])))
+    if first is None:
+        raise FileNotFoundError(
+            f'no drawn frame for {frame_paths[0]} in {drawn_dir}')
+    h, w = first.shape[:2]
+    ext = os.path.splitext(out_path)[1].lower()
+    fourcc = cv2.VideoWriter_fourcc(
+        *('MJPG' if ext == '.avi' else 'mp4v'))
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    writer = cv2.VideoWriter(out_path, fourcc, fps, (w, h))
+    if not writer.isOpened():
+        raise RuntimeError(f'cv2.VideoWriter could not open {out_path}')
+    try:
+        for p in frame_paths:
+            img = cv2.imread(os.path.join(
+                drawn_dir, os.path.basename(p)))
+            if img is None:
+                continue
+            if img.shape[:2] != (h, w):
+                img = cv2.resize(img, (w, h))
+            writer.write(img)
+    finally:
+        writer.release()
 
 
 # --------------------------------------------------------------------------
@@ -617,6 +655,11 @@ def main(argv=None) -> int:
     pt.add_argument('--window', type=int)
     pt.add_argument('--matcher', choices=['greedy', 'hungarian'],
                     default='greedy')
+    pt.add_argument('--out-video',
+                    help='also assemble the drawn frames into one video '
+                    'file (.mp4/.avi)')
+    pt.add_argument('--fps', type=float, default=25.0,
+                    help='frame rate for --out-video')
 
     pe = sub.add_parser('eval', help='CLEAR-MOT tracking evaluation')
     pe.add_argument('--synthetic', action='store_true')
@@ -664,7 +707,8 @@ def main(argv=None) -> int:
     elif args.cmd == 'track':
         track_video(cfg, frames_dir=args.frames, out_dir=args.out_dir,
                     checkpoint_dir=args.checkpoint_dir,
-                    window=args.window, matcher=args.matcher)
+                    window=args.window, matcher=args.matcher,
+                    out_video=args.out_video, fps=args.fps)
     elif args.cmd == 'eval':
         evaluate_tracking(cfg, synthetic=args.synthetic,
                           checkpoint_dir=args.checkpoint_dir,

@@ -148,9 +148,17 @@ def test_track_cli_flow(tiny_cfg, tmp_path):
         image_size=(64, 64), labels=('1',))
     frames = os.path.join(img_dir, 'video_00')
     out = str(tmp_path / 'drawn')
-    results = track_video(tiny_cfg, frames_dir=frames, out_dir=out)
+    vid = str(tmp_path / 'tracked.avi')
+    results = track_video(tiny_cfg, frames_dir=frames, out_dir=out,
+                          out_video=vid, fps=5.0)
     assert len(results) == 5                     # every frame covered
     assert len(os.listdir(out)) == 5
+    # --out-video assembles the drawn frames into one playable file
+    import cv2
+    cap = cv2.VideoCapture(vid)
+    assert cap.isOpened()
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 5
+    cap.release()
 
 
 def test_track_cli_video_file(tiny_cfg, tmp_path):
