@@ -32,7 +32,8 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
         frames: int = 16, seed: int = 0, workdir: str | None = None,
         batch_size: int = 4, lr: float = 2e-4,
         grad_clip: float = 1.0, warm_up_epochs: int = 2,
-        record: bool = False, eval_only: bool = False) -> dict:
+        record: bool = False, eval_only: bool = False,
+        resume: bool = False) -> dict:
     from object_tracking_tpu.config import Config
     from object_tracking_tpu.data.synthetic import make_synthetic_dataset
     from object_tracking_tpu.trainer import (
@@ -68,6 +69,7 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
     cfg.train.max_epochs = epochs
     cfg.train.early_stop_patience = max(epochs, 20)  # run the clock out
     cfg.train.augment = True
+    cfg.train.resume = resume   # pick up an interrupted run's checkpoint
 
     # eval_only re-runs just the held-out evaluation against whatever
     # checkpoint an earlier (possibly interrupted) training run left in
@@ -114,8 +116,12 @@ if __name__ == '__main__':
     p.add_argument('--eval-only', action='store_true',
                    help='skip training; evaluate the checkpoint an '
                    'earlier run left in --workdir')
+    p.add_argument('--resume', action='store_true',
+                   help='resume an interrupted run from the newest '
+                   'checkpoint in --workdir; --epochs then counts '
+                   'ADDITIONAL epochs for this invocation')
     a = p.parse_args()
     run(epochs=a.epochs, size=a.size, videos=a.videos, frames=a.frames,
         batch_size=a.batch_size, lr=a.lr, grad_clip=a.clip,
         warm_up_epochs=a.warm_up_epochs, workdir=a.workdir, record=True,
-        eval_only=a.eval_only)
+        eval_only=a.eval_only, resume=a.resume)
