@@ -431,7 +431,7 @@ def evaluate_tracking(cfg, *, synthetic: bool = False,
         state = TrainState.create(model.apply, variables,
                                   make_optimizer(1e-4))
         ckpts = CheckpointManager(checkpoint_dir)
-        state, at = ckpts.restore(state)
+        state, at = ckpts.restore(state, variables_only=True)
         ckpts.close()
         if at:
             print(f'restored checkpoint step {at}')
@@ -533,7 +533,7 @@ def track_video(cfg, *, frames_dir: str, out_dir: str,
         state = TrainState.create(model.apply, variables,
                                   make_optimizer(1e-4))
         ckpts = CheckpointManager(checkpoint_dir)
-        state, at = ckpts.restore(state)
+        state, at = ckpts.restore(state, variables_only=True)
         ckpts.close()
         if at:
             print(f'restored checkpoint step {at}')

@@ -53,7 +53,8 @@ class CheckpointManager:
         return self._mgr.latest_step()
 
     def restore(self, state_template, step: Optional[int] = None,
-                sharding: Optional[Any] = None):
+                sharding: Optional[Any] = None,
+                variables_only: bool = False):
         """Restore into the template TrainState; returns (state, step).
 
         `sharding` (e.g. `parallel.mesh.replicated_sharding(mesh)`)
@@ -62,24 +63,40 @@ class CheckpointManager:
         the mesh rejects the mixed placement. Fresh-initialized arrays
         are uncommitted (freely movable), which is why only the resume
         path needs this.
+
+        `variables_only=True` restores just step/params/batch_stats and
+        keeps the template's fresh opt_state — for eval/inference, where
+        the optimizer is irrelevant. This also makes eval robust to
+        optimizer-config drift: a checkpoint trained with a chained
+        optimizer (e.g. grad-clip + Adam) restores fine into an eval
+        state built with any optimizer, where a full restore would fail
+        on the opt_state tree-structure mismatch.
         """
         step = self._mgr.latest_step() if step is None else step
         if step is None:
             return state_template, None
         payload = {'step': state_template.step,
-                   'params': state_template.params,
-                   'opt_state': state_template.opt_state}
+                   'params': state_template.params}
+        if not variables_only:
+            payload['opt_state'] = state_template.opt_state
         if state_template.batch_stats is not None:
             payload['batch_stats'] = state_template.batch_stats
         abstract = jax.tree_util.tree_map(
             ocp.utils.to_shape_dtype_struct, payload)
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(abstract))
+        if variables_only:
+            # partial restore: the on-disk tree has opt_state too
+            restored = self._mgr.restore(
+                step, args=ocp.args.PyTreeRestore(abstract,
+                                                  partial_restore=True))
+        else:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract))
         if sharding is not None:
             restored = jax.device_put(restored, sharding)
         state = state_template.replace(
             step=restored['step'], params=restored['params'],
-            opt_state=restored['opt_state'],
+            opt_state=(state_template.opt_state if variables_only
+                       else restored['opt_state']),
             batch_stats=restored.get('batch_stats',
                                      state_template.batch_stats))
         return state, step

@@ -135,6 +135,37 @@ def test_checkpoint_roundtrip(tmp_path):
     mgr.close()
 
 
+def test_checkpoint_variables_only_survives_optimizer_drift(tmp_path):
+    """Eval restores must not depend on the training optimizer: a
+    checkpoint saved with a CHAINED optimizer (grad-clip + Adam, the
+    from-scratch joint recipe) restores into a template built with a
+    plain optimizer when variables_only=True. The full restore fails on
+    the opt_state tree mismatch — this is the regression that broke
+    evaluate_tracking after a grad-clipped training run."""
+    m = _MLP()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)))
+    st = TrainState.create(m.apply, v,
+                           make_optimizer(1e-3, grad_clip_norm=1.0))
+    mgr = CheckpointManager(str(tmp_path / 'ckpt'))
+    mgr.save(1, st)
+    mgr.wait()
+    mgr.close()
+
+    mgr2 = CheckpointManager(str(tmp_path / 'ckpt'))
+    template = TrainState.create(m.apply, v,
+                                 make_optimizer(5e-4))  # plain optimizer
+    restored, step = mgr2.restore(template, variables_only=True)
+    assert step == 1
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b)),
+        restored.params, st.params)
+    # the template's fresh opt_state is kept, not the checkpoint's
+    assert jax.tree_util.tree_structure(restored.opt_state) \
+        == jax.tree_util.tree_structure(template.opt_state)
+    mgr2.close()
+
+
 def test_checkpoint_restore_empty_dir(tmp_path):
     mgr = CheckpointManager(str(tmp_path / 'none'))
     st = _mlp_state()
