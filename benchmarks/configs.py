@@ -36,18 +36,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-
-def _timeit(fn, iters: int) -> float:
-    """Seconds per call, compile excluded."""
-    import jax
-    jax.block_until_ready(fn())            # compile
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+from _timing import pay_d2h_setup, pull_fence, timeit as _timeit  # noqa: E402
 
 
 def _report(**kw):
@@ -114,12 +105,12 @@ def bench_tiny(iters: int, heatmap: bool):
 
     # donate_argnums donates the state; rebuild it per timing loop is
     # wrong — instead time the steady-state chain.
-    jax.block_until_ready(step(state, batch)[0].params)  # compile
+    s, m = step(state, batch)                            # compile
+    pull_fence(m['loss'])
     t0 = time.perf_counter()
-    s = state
     for _ in range(iters):
         s, m = step(s, batch)
-    jax.block_until_ready(m['loss'])
+    pull_fence(m['loss'])
     dt_train = (time.perf_counter() - t0) / iters
     _report(bench=f'{name}_train_step', us=round(dt_train * 1e6, 1),
             sequences_per_sec=round(b / dt_train, 1), batch=b, t=t)
@@ -168,12 +159,12 @@ def bench_detector(iters: int):
         'y_true': jnp.zeros((tb, 13, 13, 5, 85), jnp.float32),
         'true_boxes': jnp.zeros((tb, 1, 1, 1, 50, 4), jnp.float32),
     }
-    jax.block_until_ready(step(state, batch)[0].params)
+    s, m = step(state, batch)                            # compile
+    pull_fence(m['loss'])
     t0 = time.perf_counter()
-    s = state
     for _ in range(iters):
         s, m = step(s, batch)
-    jax.block_until_ready(m['loss'])
+    pull_fence(m['loss'])
     dt_train = (time.perf_counter() - t0) / iters
     _report(bench='yolov2_detector_train_step',
             images_per_sec=round(tb / dt_train, 1), batch=tb)
@@ -213,6 +204,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--iters', type=int, default=20)
     args = ap.parse_args()
+    import jax
+    jax.config.update('jax_compilation_cache_dir', os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+    pay_d2h_setup(log=lambda m: print(m, file=sys.stderr, flush=True))
     bench_tiny(args.iters, heatmap=False)      # config 1
     bench_tiny(args.iters, heatmap=True)       # config 2
     bench_detector(args.iters)                 # config 3

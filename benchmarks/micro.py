@@ -23,15 +23,9 @@ import sys
 import time
 
 
-def _timeit(fn, iters: int) -> float:
-    import jax
-    fn()                                   # compile
-    jax.block_until_ready(fn())
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+sys.path.insert(0, __file__.rsplit('/', 1)[0])
+
+from _timing import pay_d2h_setup, pull_fence, timeit as _timeit  # noqa: E402
 
 
 def bench_nms(iters: int):
@@ -147,14 +141,13 @@ def bench_matcher(iters: int):
         return jax.lax.scan(frame, ts, (bb, ll, vv))
 
     ts0 = init_track_state(64)
-    # block per call: per-window latency including one dispatch, the
-    # honest comparison against the host loop's per-frame pulls
-    jax.block_until_ready(greedy_window(ts0, d_boxes, d_labels,
-                                        d_valid)[1])
+    # pull per call: per-window latency including one dispatch and one
+    # ids pull, the honest comparison against the host loop's per-frame
+    # pulls (block_until_ready does not fence on axon — see _timing.py)
+    pull_fence(greedy_window(ts0, d_boxes, d_labels, d_valid)[1])
     t0 = time.perf_counter()
     for _ in range(iters):
-        jax.block_until_ready(greedy_window(ts0, d_boxes, d_labels,
-                                            d_valid)[1])
+        pull_fence(greedy_window(ts0, d_boxes, d_labels, d_valid)[1])
     dt_greedy = (time.perf_counter() - t0) / iters
 
     def host_window():
@@ -226,6 +219,16 @@ def main() -> None:
     p.add_argument('--only', choices=['nms', 'decode', 'convlstm',
                                       'matcher', 'loader'])
     args = p.parse_args()
+    if args.only != 'loader':
+        import jax
+        jax.config.update('jax_compilation_cache_dir',
+                          __file__.rsplit('/', 2)[0] + '/.jax_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          0.0)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes',
+                          -1)
+        pay_d2h_setup(log=lambda m: print(m, file=sys.stderr,
+                                          flush=True))
     table = {
         'nms': bench_nms, 'decode': bench_decode,
         'convlstm': bench_convlstm, 'matcher': bench_matcher,

@@ -212,6 +212,16 @@ class JointPredictor:
 
         import cv2
         os.makedirs(out_dir, exist_ok=True)
+        colors: dict = {}
+
+        def track_color(tid: int):
+            # deterministic per-track color, computed once per track
+            # (not once per box per frame)
+            if tid not in colors:
+                colors[tid] = tuple(int(c) for c in np.random.RandomState(
+                    tid).randint(0, 255, 3))
+            return colors[tid]
+
         for p, dets in zip(paths, results):
             img = cv2.imread(p)
             ih, iw = img.shape[:2]
@@ -219,9 +229,7 @@ class JointPredictor:
                 cx, cy, w, h = d['box']
                 x1, y1 = int((cx - w / 2) * iw), int((cy - h / 2) * ih)
                 x2, y2 = int((cx + w / 2) * iw), int((cy + h / 2) * ih)
-                color = tuple(int(c) for c in
-                              np.random.RandomState(
-                                  d['track_id']).randint(0, 255, 3))
+                color = track_color(d['track_id'])
                 cv2.rectangle(img, (x1, y1), (x2, y2), color, 2)
                 cv2.putText(img, f"#{d['track_id']} {d['label']}",
                             (x1, y1 - 5), cv2.FONT_HERSHEY_SIMPLEX,

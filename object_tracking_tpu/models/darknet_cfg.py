@@ -452,8 +452,14 @@ class CfgDetector:
                 f'{len(labels)} labels given but cfg declares {n_cls} '
                 'classes; using positional class names', stacklevel=2)
             labels = None
-        self.labels = tuple(labels) if labels else tuple(
-            f'class_{i}' for i in range(n_cls))
+        if labels:
+            self.labels = tuple(labels)
+        elif n_cls == 80:
+            # an unnamed 80-class head is COCO in every darknet release
+            from object_tracking_tpu.config import LABELS_COCO
+            self.labels = LABELS_COCO
+        else:
+            self.labels = tuple(f'class_{i}' for i in range(n_cls))
         dummy = jnp.zeros((1, h, w, c), jnp.float32)
         self.variables = self.module.init(jax.random.PRNGKey(seed), dummy)
         if weights_path:

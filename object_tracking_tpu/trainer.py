@@ -149,16 +149,23 @@ def single_object_tracking(cfg, *, synthetic: bool = False,
 
     logger, ckpts, early, reduce_lr = _make_callback_stack(
         cfg, logs, os.path.join(models_dir, 'tiny_tracker'), joint=False)
+    at = 0
     if cfg.train.resume:
         from object_tracking_tpu.parallel import replicated_sharding
         state, at = ckpts.restore(state,
                                   sharding=replicated_sharding(mesh))
+        at = at or 0
         if at:
             print(f'resumed from checkpoint step {at}')
+    # Resumed runs continue the epoch/step sequence: orbax silently
+    # skips saves with step <= latest existing step, so restarting the
+    # counter at 1 would write NO checkpoints until it passed the prior
+    # run's last step (ADVICE r2). `epochs` counts additional epochs.
     state = fit(state, make_tiny_train_step(heatmap),
                 train_gen, eval_step=make_tiny_eval_step(heatmap),
                 val_batches=val_gen,
-                epochs=epochs or cfg.train.max_epochs,
+                epochs=at + (epochs or cfg.train.max_epochs),
+                initial_epoch=at,
                 shard_fn=shard_fn, logger=logger, checkpoints=ckpts,
                 early_stopping=early, reduce_lr=reduce_lr,
                 log_every_steps=cfg.train.log_every_steps)
@@ -260,10 +267,12 @@ def simult_multi_obj_detection_tracking(cfg, *, synthetic: bool = False,
 
     logger, ckpts, early, reduce_lr = _make_callback_stack(
         cfg, logs, os.path.join(models_dir, 'multi_obj'), joint=True)
+    at = 0
     if cfg.train.resume:
         from object_tracking_tpu.parallel import replicated_sharding
         state, at = ckpts.restore(state,
                                   sharding=replicated_sharding(mesh))
+        at = at or 0
         if at:
             print(f'resumed from checkpoint step {at}')
     import contextlib
@@ -281,7 +290,11 @@ def simult_multi_obj_detection_tracking(cfg, *, synthetic: bool = False,
                     eval_step=make_joint_eval_step(cfg.detector.anchors,
                                                    cfg.loss, cfg.joint),
                     val_batches=val_gen,
-                    epochs=epochs or cfg.train.max_epochs,
+                    # continue the restored step sequence so orbax does
+                    # not silently skip resumed saves (ADVICE r2);
+                    # `epochs` counts additional epochs on resume.
+                    epochs=at + (epochs or cfg.train.max_epochs),
+                    initial_epoch=at,
                     shard_fn=shard_fn, logger=logger, checkpoints=ckpts,
                     early_stopping=early, reduce_lr=reduce_lr,
                     log_every_steps=cfg.train.log_every_steps)
@@ -309,10 +322,18 @@ def keras_yolo_obj_detection(cfg, *, images=(), out_dir: str = '.',
     from object_tracking_tpu.models import YOLOv2Detector
 
     if cfg.detector.cfg_path:
+        from object_tracking_tpu.config import LABELS_COCO
         from object_tracking_tpu.models.darknet_cfg import CfgDetector
+        labels_arg = cfg.detector.labels or None
+        if labels_arg == LABELS_COCO:
+            # Unchanged default labels: the cfg's class count is
+            # authoritative, so let CfgDetector pick names itself (it
+            # uses COCO names when the cfg declares 80 classes) instead
+            # of warning about a mismatch the user never expressed.
+            labels_arg = None
         detector = CfgDetector(
             cfg.detector.cfg_path, weights_path=cfg.detector.weights_path,
-            labels=cfg.detector.labels or None,
+            labels=labels_arg,
             obj_threshold=cfg.detector.obj_threshold,
             nms_threshold=cfg.detector.nms_threshold)
     else:
@@ -503,11 +524,13 @@ def track_video(cfg, *, frames_dir: str, out_dir: str,
                 window: Optional[int] = None,
                 matcher: str = 'greedy',
                 out_video: Optional[str] = None,
-                fps: float = 25.0) -> list:
+                fps: Optional[float] = None) -> list:
     """Run the joint model over a directory of frames, drawing per-track
     colored boxes with persistent IDs; returns the per-frame detections.
     `out_video` additionally assembles the drawn frames into one video
-    file (container/codec chosen by extension, e.g. `.mp4`/`.avi`)."""
+    file (container/codec chosen by extension, e.g. `.mp4`/`.avi`).
+    `fps=None` uses the source video's frame rate when `frames_dir` is a
+    video file (so playback speed matches the input), else 25."""
     import jax
     import jax.numpy as jnp
 
@@ -543,35 +566,46 @@ def track_video(cfg, *, frames_dir: str, out_dir: str,
         obj_threshold=cfg.detector.obj_threshold,
         nms_threshold=cfg.detector.nms_threshold,
         net_size=(size, size), matcher=matcher)
-    if os.path.isfile(frames_dir):
-        # a video file: decode to frames first (cv2), then track
-        import cv2
-        cap = cv2.VideoCapture(frames_dir)
-        if not cap.isOpened():
-            raise FileNotFoundError(frames_dir)
-        tmp = tempfile.mkdtemp(prefix='ott_video_')
-        i = 0
-        while True:
-            ok, frame = cap.read()
-            if not ok:
-                break
-            cv2.imwrite(os.path.join(tmp, f'{i:06d}.jpg'), frame)
-            i += 1
-        cap.release()
-        frames_dir = tmp
-    exts = ('.jpg', '.jpeg', '.png')
-    paths = sorted(
-        os.path.join(frames_dir, f) for f in os.listdir(frames_dir)
-        if f.lower().endswith(exts))
-    if not paths:
-        raise FileNotFoundError(f'no frames in {frames_dir}')
-    results = predictor.predict_video(paths, window=t, draw_dir=out_dir)
-    n_tracks = len({d['track_id'] for dets in results for d in dets})
-    print(f'{len(paths)} frames → {out_dir} ({n_tracks} tracks)')
-    if out_video:
-        _write_video(out_dir, paths, out_video, fps)
-        print(f'video → {out_video}')
-    return results
+    tmp = None
+    try:
+        if os.path.isfile(frames_dir):
+            # a video file: decode to frames first (cv2), then track
+            import cv2
+            cap = cv2.VideoCapture(frames_dir)
+            if not cap.isOpened():
+                raise FileNotFoundError(frames_dir)
+            if fps is None:
+                src_fps = cap.get(cv2.CAP_PROP_FPS)
+                if src_fps and src_fps > 0:
+                    fps = float(src_fps)
+            tmp = tempfile.mkdtemp(prefix='ott_video_')
+            i = 0
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                cv2.imwrite(os.path.join(tmp, f'{i:06d}.jpg'), frame)
+                i += 1
+            cap.release()
+            frames_dir = tmp
+        exts = ('.jpg', '.jpeg', '.png')
+        paths = sorted(
+            os.path.join(frames_dir, f) for f in os.listdir(frames_dir)
+            if f.lower().endswith(exts))
+        if not paths:
+            raise FileNotFoundError(f'no frames in {frames_dir}')
+        results = predictor.predict_video(paths, window=t,
+                                          draw_dir=out_dir)
+        n_tracks = len({d['track_id'] for dets in results for d in dets})
+        print(f'{len(paths)} frames → {out_dir} ({n_tracks} tracks)')
+        if out_video:
+            _write_video(out_dir, paths, out_video, fps or 25.0)
+            print(f'video → {out_video}')
+        return results
+    finally:
+        if tmp is not None:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _write_video(drawn_dir: str, frame_paths, out_path: str,
@@ -592,17 +626,25 @@ def _write_video(drawn_dir: str, frame_paths, out_path: str,
     writer = cv2.VideoWriter(out_path, fourcc, fps, (w, h))
     if not writer.isOpened():
         raise RuntimeError(f'cv2.VideoWriter could not open {out_path}')
+    skipped = 0
     try:
         for p in frame_paths:
             img = cv2.imread(os.path.join(
                 drawn_dir, os.path.basename(p)))
             if img is None:
+                skipped += 1
                 continue
             if img.shape[:2] != (h, w):
                 img = cv2.resize(img, (w, h))
             writer.write(img)
     finally:
         writer.release()
+    if skipped:
+        import warnings
+        warnings.warn(
+            f'{skipped}/{len(frame_paths)} drawn frames missing from '
+            f'{drawn_dir}; the output video is shorter than the input',
+            stacklevel=2)
 
 
 # --------------------------------------------------------------------------
@@ -658,8 +700,9 @@ def main(argv=None) -> int:
     pt.add_argument('--out-video',
                     help='also assemble the drawn frames into one video '
                     'file (.mp4/.avi)')
-    pt.add_argument('--fps', type=float, default=25.0,
-                    help='frame rate for --out-video')
+    pt.add_argument('--fps', type=float, default=None,
+                    help='frame rate for --out-video (default: the '
+                    'source video\'s rate, or 25 for frame dirs)')
 
     pe = sub.add_parser('eval', help='CLEAR-MOT tracking evaluation')
     pe.add_argument('--synthetic', action='store_true')
