@@ -10,6 +10,12 @@ on synthetic multi-class video (the only data available offline — the
 blocker for MOT17 is recorded in PARITY.md), then run the CLEAR-MOT +
 VOC-mAP harness on a held-out val split.
 
+Round-3 default: MULTI-object scenes — 3 simultaneously-visible objects
+per frame with crossing trajectories, a 2-frame occlusion per object,
+and unannotated distractor clutter (the id-switch stressors of crowded
+MOT17 data, utility/motd_to_pascal.py:19-30). `--objects 1` reproduces
+the legacy single-object row.
+
 Bar (recorded in benchmarks/RESULTS.md): val mAP >= 0.5 and MOTA > 0.
 
 Usage:  python benchmarks/train_quality.py [--epochs 40] [--size 160]
@@ -33,22 +39,28 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
         batch_size: int = 4, lr: float = 2e-4,
         grad_clip: float = 1.0, warm_up_epochs: int = 2,
         record: bool = False, eval_only: bool = False,
-        resume: bool = False) -> dict:
+        resume: bool = False, objects: int = 3, crossing: bool = True,
+        occlusion: int = 2, clutter: int = 3,
+        bar_map: float = 0.5, bar_mota: float = 0.0) -> dict:
     from object_tracking_tpu.config import Config
     from object_tracking_tpu.data.synthetic import make_synthetic_dataset
     from object_tracking_tpu.trainer import (
         evaluate_tracking, simult_multi_obj_detection_tracking)
 
     labels = ('1', '2')
+    scene = dict(objects_per_video=objects, crossing=crossing,
+                 occlusion_frames=occlusion, clutter=clutter)
     wd = workdir or tempfile.mkdtemp(prefix='ott_quality_')
     train_img, train_ann = make_synthetic_dataset(
         os.path.join(wd, 'train'), num_videos=videos,
         frames_per_video=frames, image_size=(size, size), labels=labels,
-        box_frac=0.3, size_jitter=0.35, seed=seed)
+        box_frac=0.3 if objects == 1 else 0.2, size_jitter=0.35,
+        seed=seed, **scene)
     val_img, val_ann = make_synthetic_dataset(
         os.path.join(wd, 'val'), num_videos=6, frames_per_video=frames,
-        image_size=(size, size), labels=labels, box_frac=0.3,
-        size_jitter=0.35, seed=seed + 991)
+        image_size=(size, size), labels=labels,
+        box_frac=0.3 if objects == 1 else 0.2, size_jitter=0.35,
+        seed=seed + 991, **scene)
 
     cfg = Config()
     cfg.joint.labels = labels
@@ -82,15 +94,28 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
             wd, cfg.train.saved_model_dir, 'multi_obj'),
         workdir=wd)
     overall = results['overall']
+    per_video = {
+        k: {'mota': round(float(r['mota']), 4),
+            'id_switches': int(r['id_switches'])}
+        for k, r in results.items() if k != 'overall'}
+    # every pair of crossing objects in a video meets once mid-clip
+    crossings_per_video = (objects * (objects - 1) // 2 if crossing
+                           else 0)
     out = {'map': round(float(overall['map']), 4),
            'mota': round(float(overall['mota']), 4),
            'motp': round(float(overall['motp']), 4),
            'id_switches': int(overall['id_switches']),
            'epochs': epochs, 'size': size,
            'train_frames': videos * frames,
-           'bar': {'map': 0.5, 'mota': 0.0},
-           'passed': bool(overall['map'] >= 0.5
-                          and overall['mota'] > 0.0)}
+           'scene': {'objects_per_frame': objects,
+                     'crossing': crossing,
+                     'crossings_per_video': crossings_per_video,
+                     'occlusion_frames': occlusion,
+                     'clutter': clutter},
+           'per_video': per_video,
+           'bar': {'map': bar_map, 'mota': bar_mota},
+           'passed': bool(overall['map'] >= bar_map
+                          and overall['mota'] > bar_mota)}
     print(json.dumps(out))
     if record:
         # benchmarks/QUALITY.json feeds report.py's quality table — only
@@ -112,6 +137,17 @@ if __name__ == '__main__':
     p.add_argument('--lr', type=float, default=2e-4)
     p.add_argument('--clip', type=float, default=1.0)
     p.add_argument('--warm-up-epochs', type=int, default=2)
+    p.add_argument('--objects', type=int, default=3,
+                   help='simultaneously-visible objects per frame '
+                   '(1 = legacy single-object scenes)')
+    p.add_argument('--no-crossing', action='store_true',
+                   help='disable crossing trajectories')
+    p.add_argument('--occlusion', type=int, default=2,
+                   help='frames each object is hidden mid-trajectory')
+    p.add_argument('--clutter', type=int, default=3,
+                   help='unannotated distractor shapes per video')
+    p.add_argument('--bar-map', type=float, default=0.5)
+    p.add_argument('--bar-mota', type=float, default=0.0)
     p.add_argument('--workdir')
     p.add_argument('--eval-only', action='store_true',
                    help='skip training; evaluate the checkpoint an '
@@ -124,4 +160,6 @@ if __name__ == '__main__':
     run(epochs=a.epochs, size=a.size, videos=a.videos, frames=a.frames,
         batch_size=a.batch_size, lr=a.lr, grad_clip=a.clip,
         warm_up_epochs=a.warm_up_epochs, workdir=a.workdir, record=True,
-        eval_only=a.eval_only, resume=a.resume)
+        eval_only=a.eval_only, resume=a.resume, objects=a.objects,
+        crossing=not a.no_crossing, occlusion=a.occlusion,
+        clutter=a.clutter, bar_map=a.bar_map, bar_mota=a.bar_mota)

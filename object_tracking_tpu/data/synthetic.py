@@ -2,9 +2,18 @@
 
 The reference cannot run without MOT17/VisualTB downloads plus built
 native detectors; there is no smoke-test path (SURVEY.md §4). This module
-fabricates videos of a square moving on a textured background, written as
+fabricates videos of shapes moving on a textured background, written as
 real JPEGs + PASCAL-VOC XML (trackid included), so every pipeline —
 converters excepted — runs end-to-end with zero external data.
+
+Multi-object scenes (round-3): `objects_per_video` puts several
+simultaneously-visible tracked objects in every frame, `crossing`
+aims their trajectories so pairs swap sides mid-video (the id-switch
+stressor MOT17 data exercises — gt schema with per-object track ids,
+/root/reference/utility/motd_to_pascal.py:19-30), `occlusion_frames`
+hides each object once for N consecutive frames mid-trajectory (it
+reappears under the same trackid; no GT is emitted while hidden, like
+MOT visibility 0), and `clutter` scatters unannotated distractor shapes.
 """
 
 from __future__ import annotations
@@ -26,10 +35,16 @@ _CLASS_STYLES = (
     ((60, 220, 60), 'square'), ((200, 60, 200), 'circle'),
 )
 
+# Distractor fills deliberately far from every class color (dim grays /
+# browns) so clutter is learnable-as-background, not label noise.
+_CLUTTER_STYLES = (
+    ((110, 110, 110), 'square'), ((70, 90, 120), 'circle'),
+    ((120, 100, 80), 'square'),
+)
 
-def _draw_object(img, x, y, bw, bh, class_idx: int) -> None:
+
+def _draw_shape(img, x, y, bw, bh, color, shape) -> None:
     import cv2
-    color, shape = _CLASS_STYLES[class_idx % len(_CLASS_STYLES)]
     if shape == 'circle':
         cv2.ellipse(img, (x + bw // 2, y + bh // 2), (bw // 2, bh // 2),
                     0, 0, 360, color, -1)
@@ -37,19 +52,105 @@ def _draw_object(img, x, y, bw, bh, class_idx: int) -> None:
         img[y:y + bh, x:x + bw] = color
 
 
+def _draw_object(img, x, y, bw, bh, class_idx: int) -> None:
+    color, shape = _CLASS_STYLES[class_idx % len(_CLASS_STYLES)]
+    _draw_shape(img, x, y, bw, bh, color, shape)
+
+
+class _Track:
+    """One object's trajectory: position integrated per frame, velocity
+    reflected at the borders, optionally hidden for an occlusion span."""
+
+    def __init__(self, trackid: int, class_idx: int, x: float, y: float,
+                 vx: float, vy: float, bw: int, bh: int,
+                 hide: Tuple[int, int] = (0, 0)):
+        self.trackid = trackid
+        self.class_idx = class_idx
+        self.x, self.y, self.vx, self.vy = x, y, vx, vy
+        self.bw, self.bh = bw, bh
+        self.hide = hide                       # [start, end) frames
+
+    def step(self, w: int, h: int) -> None:
+        self.x += self.vx
+        self.y += self.vy
+        if self.x < 0 or self.x > w - self.bw:
+            self.vx = -self.vx
+            self.x = float(np.clip(self.x, 0, w - self.bw))
+        if self.y < 0 or self.y > h - self.bh:
+            self.vy = -self.vy
+            self.y = float(np.clip(self.y, 0, h - self.bh))
+
+    def visible(self, frame: int) -> bool:
+        lo, hi = self.hide
+        return not (lo <= frame < hi)
+
+    def box(self) -> Tuple[int, int, int, int]:
+        x, y = int(self.x), int(self.y)
+        return (x, y, x + self.bw, y + self.bh)
+
+
+def _spawn_tracks(rng, num: int, w: int, h: int, bw: int, bh: int,
+                  num_classes: int, frames: int, crossing: bool,
+                  occlusion_frames: int, base_trackid: int
+                  ) -> List[_Track]:
+    tracks = []
+    for i in range(num):
+        class_idx = i % num_classes
+        if crossing and num >= 2:
+            # Opposite-edge starts with velocities aimed through the
+            # frame center: every pair's paths intersect mid-video, the
+            # id-switch stressor single-object data never exercises.
+            side = i % 4
+            margin = 2
+            if side == 0:
+                x, y = margin, rng.uniform(0, h - bh)
+            elif side == 1:
+                x, y = w - bw - margin, rng.uniform(0, h - bh)
+            elif side == 2:
+                x, y = rng.uniform(0, w - bw), margin
+            else:
+                x, y = rng.uniform(0, w - bw), h - bh - margin
+            # velocity carries the object to the mirrored position over
+            # ~the whole clip, passing center near frames/2
+            tx = (w - bw) - x if side in (0, 1) else x
+            ty = y if side in (0, 1) else (h - bh) - y
+            steps = max(frames - 1, 1)
+            vx = (tx - x) / steps + rng.uniform(-1, 1)
+            vy = (ty - y) / steps + rng.uniform(-1, 1)
+        else:
+            x = rng.uniform(0, w - bw)
+            y = rng.uniform(0, h - bh)
+            vx, vy = rng.randint(-8, 9, size=2).astype(float)
+        hide = (0, 0)
+        if occlusion_frames > 0 and frames > occlusion_frames + 2:
+            # hide once mid-trajectory; never the first/last frame, so
+            # the track both pre-exists and outlives its occlusion
+            lo = int(rng.randint(1, frames - occlusion_frames))
+            hide = (lo, lo + occlusion_frames)
+        tracks.append(_Track(base_trackid + i, class_idx, float(x),
+                             float(y), vx, vy, bw, bh, hide))
+    return tracks
+
+
 def make_synthetic_dataset(root: str, *, num_videos: int = 2,
                            frames_per_video: int = 8,
                            image_size: Tuple[int, int] = (416, 416),
                            labels: Sequence[str] = ('1',),
                            box_frac: float = 0.3, seed: int = 0,
-                           size_jitter: float = 0.0
-                           ) -> Tuple[str, str]:
+                           size_jitter: float = 0.0,
+                           objects_per_video: int = 1,
+                           crossing: bool = False,
+                           occlusion_frames: int = 0,
+                           clutter: int = 0) -> Tuple[str, str]:
     """Write JPEG frames + VOC XMLs; returns (image_dir, annot_dir).
 
     Each class index renders with a distinct fill color/shape so
     multi-class detectors can actually be trained on this data;
     `size_jitter` varies the per-video box scale by up to ±that fraction
-    of `box_frac` (0 keeps the legacy fixed size).
+    of `box_frac` (0 keeps the legacy fixed size). With
+    `objects_per_video > 1` every frame contains that many tracked
+    objects (distinct trackids, classes cycling); see the module
+    docstring for `crossing` / `occlusion_frames` / `clutter`.
     """
     import cv2
     rng = np.random.RandomState(seed)
@@ -64,39 +165,70 @@ def make_synthetic_dataset(root: str, *, num_videos: int = 2,
         if size_jitter:
             frac *= 1.0 + rng.uniform(-size_jitter, size_jitter)
         bw, bh = max(int(w * frac), 4), max(int(h * frac), 4)
-        x = rng.randint(0, w - bw)
-        y = rng.randint(0, h - bh)
-        vx, vy = rng.randint(-8, 9, size=2)
+        if objects_per_video == 1 and not crossing:
+            # legacy single-object path: keep the exact historic layout
+            # (integer positions/velocities, class = video index)
+            x = rng.randint(0, w - bw)
+            y = rng.randint(0, h - bh)
+            vx, vy = rng.randint(-8, 9, size=2).astype(float)
+            tracks = [_Track(v, v % len(labels), float(x), float(y),
+                             vx, vy, bw, bh)]
+            if occlusion_frames > 0 and \
+                    frames_per_video > occlusion_frames + 2:
+                lo = int(rng.randint(
+                    1, frames_per_video - occlusion_frames))
+                tracks[0].hide = (lo, lo + occlusion_frames)
+        else:
+            tracks = _spawn_tracks(
+                rng, objects_per_video, w, h, bw, bh, len(labels),
+                frames_per_video, crossing, occlusion_frames,
+                base_trackid=v * objects_per_video)
         bg = rng.randint(0, 80, size=(h, w, 3), dtype=np.uint8)
-        class_idx = v % len(labels)
-        label = labels[class_idx]
+        # static unannotated distractors, drawn under the objects
+        lutter = []
+        for c in range(clutter):
+            cw = max(int(w * frac * rng.uniform(0.5, 1.2)), 4)
+            ch = max(int(h * frac * rng.uniform(0.5, 1.2)), 4)
+            lutter.append((int(rng.randint(0, max(w - cw, 1))),
+                           int(rng.randint(0, max(h - ch, 1))),
+                           cw, ch, _CLUTTER_STYLES[c % 3]))
         for f in range(frames_per_video):
-            x = int(np.clip(x + vx, 0, w - bw))
-            y = int(np.clip(y + vy, 0, h - bh))
+            if f > 0:
+                for tr in tracks:
+                    tr.step(w, h)
             img = bg.copy()
-            _draw_object(img, x, y, bw, bh, class_idx)
+            for (cx, cy, cw, ch, (color, shape)) in lutter:
+                _draw_shape(img, cx, cy, cw, ch, color, shape)
+            objs = []
+            for tr in tracks:
+                if not tr.visible(f):
+                    continue
+                box = tr.box()
+                _draw_object(img, box[0], box[1], tr.bw, tr.bh,
+                             tr.class_idx)
+                objs.append((labels[tr.class_idx], tr.trackid, box))
             fname = f'{f:04d}.jpg'
             cv2.imwrite(os.path.join(image_dir, folder, fname), img)
             _write_xml(os.path.join(annot_dir, folder, f'{f:04d}.xml'),
-                       folder, fname, w, h, label, v,
-                       (x, y, x + bw, y + bh))
+                       folder, fname, w, h, objs)
     return image_dir, annot_dir
 
 
-def _write_xml(path, folder, filename, width, height, label, trackid,
-               box) -> None:
+def _write_xml(path, folder, filename, width, height, objs) -> None:
+    """objs: list of (label, trackid, (xmin, ymin, xmax, ymax))."""
     ann = ET.Element('annotation')
     ET.SubElement(ann, 'folder').text = folder
     ET.SubElement(ann, 'filename').text = filename
     size = ET.SubElement(ann, 'size')
     ET.SubElement(size, 'width').text = str(width)
     ET.SubElement(size, 'height').text = str(height)
-    obj = ET.SubElement(ann, 'object')
-    ET.SubElement(obj, 'name').text = str(label)
-    ET.SubElement(obj, 'trackid').text = str(trackid)
-    bb = ET.SubElement(obj, 'bndbox')
-    for k, v in zip(('xmin', 'ymin', 'xmax', 'ymax'), box):
-        ET.SubElement(bb, k).text = str(v)
+    for label, trackid, box in objs:
+        obj = ET.SubElement(ann, 'object')
+        ET.SubElement(obj, 'name').text = str(label)
+        ET.SubElement(obj, 'trackid').text = str(trackid)
+        bb = ET.SubElement(obj, 'bndbox')
+        for k, v in zip(('xmin', 'ymin', 'xmax', 'ymax'), box):
+            ET.SubElement(bb, k).text = str(v)
     ET.ElementTree(ann).write(path)
 
 

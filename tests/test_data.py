@@ -245,6 +245,54 @@ def test_synthetic_dataset_parses(synth):
     assert os.path.exists(anns[0].filename)
 
 
+def test_synthetic_multi_object_scenes(tmp_path):
+    """Round-3 scene knobs: N simultaneous objects with stable distinct
+    trackids, crossing trajectories that actually intersect, occlusion
+    spans that drop GT mid-track then restore the same trackid, and
+    clutter that never emits annotations."""
+    img_dir, ann_dir = make_synthetic_dataset(
+        str(tmp_path), num_videos=2, frames_per_video=12,
+        image_size=(128, 128), labels=('1', '2'), objects_per_video=3,
+        crossing=True, occlusion_frames=2, clutter=2, seed=3)
+    anns, _ = parse_annotation_dir(ann_dir, img_dir,
+                                   labels=['1', '2'])
+    by_video = {}
+    for a in anns:
+        by_video.setdefault(a.folder, []).append(a)
+    assert len(by_video) == 2
+    all_tids = set()
+    for folder, frames in by_video.items():
+        frames.sort(key=lambda a: a.filename)
+        tids = {o.trackid for a in frames for o in a.objects}
+        assert len(tids) == 3, (folder, tids)      # 3 tracks per video
+        assert tids.isdisjoint(all_tids)           # globally unique ids
+        all_tids |= tids
+        counts = [len(a.objects) for a in frames]
+        assert max(counts) == 3                    # simultaneous objects
+        assert min(counts) < 3                     # occlusion drops GT
+        # every occluded track reappears with its original id
+        for tid in tids:
+            present = [i for i, a in enumerate(frames)
+                       if any(o.trackid == tid for o in a.objects)]
+            assert present[0] < 2 and present[-1] >= len(frames) - 3, \
+                (tid, present)
+        # crossing: some pair of track centers comes close mid-clip
+        centers = {tid: {} for tid in tids}
+        for i, a in enumerate(frames):
+            for o in a.objects:
+                centers[o.trackid][i] = ((o.xmin + o.xmax) / 2,
+                                         (o.ymin + o.ymax) / 2)
+        t = sorted(tids)
+        min_d = min(
+            ((centers[a_][i][0] - centers[b_][i][0]) ** 2
+             + (centers[a_][i][1] - centers[b_][i][1]) ** 2) ** 0.5
+            for a_ in t for b_ in t if a_ < b_
+            for i in centers[a_] if i in centers[b_])
+        assert min_d < 48, min_d                  # paths approach/cross
+    # clutter is drawn but never annotated: labels census only GT counts
+    assert all(len(a.objects) <= 3 for a in anns)
+
+
 # ---------------------------------------------------------- generators
 def test_detection_batches_shapes(synth):
     img_dir, ann_dir = synth
