@@ -1,0 +1,167 @@
+"""Pipeline A train-to-quality: TinyTracker / TinyHeatmapTracker trained
+over a REAL frozen detector until held-out success-AUC clears a bar.
+
+The reference's primary documented pipeline is single-object tracking
+over a frozen external detector (/root/reference/trainer.py:8-16) and
+its offline metrics are the OTB-style overlap scores
+(utility/utils.py:82-110) — which its training loop never runs. This
+script closes that gap: it trains both Pipeline A heads and grades them
+with `evaluation.success_auc` / mean IoU on held-out videos.
+
+The frozen prior source is the committed golden-fixture detector
+(tests/fixtures/yolov2-micro.{cfg,weights} — genuine YOLOv2 topology
+trained to detect the synthetic scenes, exported to a real darknet
+binary), loaded through the cfg compiler exactly like the reference
+hands any cfg to the C loader (models_detection/YOLO.py:128-138). So the
+measured number is "tracker learned from a real detector's outputs",
+not from an oracle.
+
+Usage:  python benchmarks/train_quality_single.py [--epochs 30]
+Prints one JSON line per head + writes QUALITY_SINGLE.json (--record).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+FIXTURES = os.path.join(ROOT, 'tests', 'fixtures')
+
+
+def _eval_head(cfg, detector, state, heatmap: bool,
+               val_img: str, val_ann: str):
+    """Held-out success-AUC / mean-IoU for a trained Pipeline A head."""
+    import numpy as np
+
+    from object_tracking_tpu.data import (
+        TrackerSequenceBatches, make_sequence_windows,
+        parse_annotation_dir)
+    from object_tracking_tpu.evaluation import (
+        average_overlap_score, success_auc)
+    from object_tracking_tpu.ops.heatmap import heatmap_decode_rect
+
+    labels = cfg.train.classes
+    anns, _ = parse_annotation_dir(val_ann, val_img, labels)
+    wins = make_sequence_windows(anns, cfg.tracker.sequence_length)
+    gen = TrackerSequenceBatches(
+        wins, labels, detector, net_h=cfg.detector.image_h,
+        net_w=cfg.detector.image_w, batch_size=cfg.train.batch_size,
+        target_mode='heatmap' if heatmap else 'bbox',
+        heatmap_size=cfg.tracker.heatmap_size, tracked_classes=labels,
+        augment=False, seed=cfg.train.seed,
+        feature_layer=cfg.detector.feature_layer)
+
+    hs = cfg.tracker.heatmap_size
+    preds, gts = [], []
+    for batch in gen():
+        out = np.asarray(state.apply_fn(state.variables, batch['feats'],
+                                        batch['det']))
+        tgt = np.asarray(batch['target'])
+        if heatmap:
+            for p, g in zip(out.reshape(-1, hs * hs),
+                            tgt.reshape(-1, hs * hs)):
+                px = np.asarray([float(v) for v in
+                                 heatmap_decode_rect(p, 0.75, hs)])
+                gx = np.asarray([float(v) for v in
+                                 heatmap_decode_rect(g, 0.75, hs)])
+                # decode returns (x1, y1, x2, y2) cell units, inclusive
+                preds.append([px[0], px[1], px[2] + 1, px[3] + 1])
+                gts.append([gx[0], gx[1], gx[2] + 1, gx[3] + 1])
+        else:
+            # (cx, cy, w, h) normalized → xyxy
+            for p, g in zip(out.reshape(-1, 4), tgt.reshape(-1, 4)):
+                preds.append([p[0] - p[2] / 2, p[1] - p[3] / 2,
+                              p[0] + p[2] / 2, p[1] + p[3] / 2])
+                gts.append([g[0] - g[2] / 2, g[1] - g[3] / 2,
+                            g[0] + g[2] / 2, g[1] + g[3] / 2])
+    preds = np.asarray(preds, np.float64)
+    gts = np.asarray(gts, np.float64)
+    return {'success_auc': round(success_auc(preds, gts), 4),
+            'mean_iou': round(average_overlap_score(preds, gts), 4),
+            'frames_evaluated': int(len(preds))}
+
+
+def run(epochs: int = 30, size: int = 160, videos: int = 16,
+        frames: int = 12, seed: int = 0, workdir: str | None = None,
+        batch_size: int = 4, lr: float = 1e-3, record: bool = False,
+        bar_auc: float = 0.5) -> dict:
+    from object_tracking_tpu.config import Config
+    from object_tracking_tpu.data.synthetic import make_synthetic_dataset
+    from object_tracking_tpu.models.darknet_cfg import CfgDetector
+    from object_tracking_tpu.trainer import single_object_tracking
+
+    labels = ('1', '2')
+    wd = workdir or tempfile.mkdtemp(prefix='ott_quality_single_')
+    train_img, train_ann = make_synthetic_dataset(
+        os.path.join(wd, 'train'), num_videos=videos,
+        frames_per_video=frames, image_size=(size, size), labels=labels,
+        box_frac=0.3, size_jitter=0.35, seed=seed)
+    val_img, val_ann = make_synthetic_dataset(
+        os.path.join(wd, 'val'), num_videos=6, frames_per_video=frames,
+        image_size=(size, size), labels=labels, box_frac=0.3,
+        size_jitter=0.35, seed=seed + 991)
+
+    detector = CfgDetector(
+        os.path.join(FIXTURES, 'yolov2-micro.cfg'),
+        weights_path=os.path.join(FIXTURES, 'yolov2-micro.weights'),
+        labels=labels)
+
+    out = {'scene': {'size': size, 'videos': videos, 'frames': frames},
+           'prior_source': 'golden-fixture yolov2-micro (trained, '
+                           'committed darknet binary)',
+           'bar': {'success_auc': bar_auc}}
+    for head, heatmap in (('tiny_tracker', False),
+                          ('tiny_heatmap_tracker', True)):
+        cfg = Config()
+        cfg.tracker.name = ('TinyHeatmapTracker' if heatmap
+                            else 'TinyTracker')
+        cfg.train.classes = labels
+        cfg.train.batch_size = batch_size
+        cfg.train.learning_rate = lr
+        cfg.train.max_epochs = epochs
+        cfg.train.early_stop_patience = max(epochs, 20)
+        cfg.train.augment = True
+        cfg.detector.image_h = cfg.detector.image_w = size
+        cfg.detector.cfg_path = os.path.join(FIXTURES,
+                                             'yolov2-micro.cfg')
+        cfg.detector.feature_layer = 'final'
+        cfg.train.train_image_folder = train_img
+        cfg.train.train_annot_folder = train_ann
+        cfg.train.val_image_folder = val_img
+        cfg.train.val_annot_folder = val_ann
+        state = single_object_tracking(
+            cfg, workdir=os.path.join(wd, head), detector=detector)
+        metrics = _eval_head(cfg, detector, state, heatmap,
+                             val_img, val_ann)
+        metrics['passed'] = bool(metrics['success_auc'] >= bar_auc)
+        out[head] = metrics
+        print(json.dumps({head: metrics}))
+    out['passed'] = bool(all(out[h]['passed'] for h in
+                             ('tiny_tracker', 'tiny_heatmap_tracker')))
+    print(json.dumps(out))
+    if record:
+        with open(os.path.join(ROOT, 'benchmarks',
+                               'QUALITY_SINGLE.json'), 'w') as f:
+            json.dump(out, f, indent=1)
+    return out
+
+
+if __name__ == '__main__':
+    p = argparse.ArgumentParser()
+    p.add_argument('--epochs', type=int, default=30)
+    p.add_argument('--size', type=int, default=160)
+    p.add_argument('--videos', type=int, default=16)
+    p.add_argument('--frames', type=int, default=12)
+    p.add_argument('--batch-size', type=int, default=4)
+    p.add_argument('--lr', type=float, default=1e-3)
+    p.add_argument('--bar-auc', type=float, default=0.5)
+    p.add_argument('--workdir')
+    a = p.parse_args()
+    run(epochs=a.epochs, size=a.size, videos=a.videos, frames=a.frames,
+        batch_size=a.batch_size, lr=a.lr, workdir=a.workdir,
+        bar_auc=a.bar_auc, record=True)

@@ -470,10 +470,53 @@ class CfgDetector:
             self.variables = jax.tree_util.tree_map(jnp.asarray, merged)
         self._forward = jax.jit(
             lambda v, x: self.module.apply(v, x, train=False))
+        self._forward_batch_cache: Dict[int, Any] = {}
 
     def forward(self, images: jnp.ndarray) -> Dict[str, Any]:
         """images (B, H, W, 3) in [0, 1] → {'heads': [...], 'final': ...}."""
         return self._forward(self.variables, images)
+
+    # -- frozen prior-source surface (Pipeline A) ----------------------
+    # The reference hands ANY cfg-loaded darknet net to BaseTracker as
+    # the frozen detector (BaseTracker.py:53-58 + YOLO.py:128-138); these
+    # two methods give the cfg-compiled detector the same pluggability
+    # into TrackerSequenceBatches (get_layer_dims + forward_batch).
+
+    def get_layer_dims(self, layer: str = 'final'
+                       ) -> Tuple[int, int, int]:
+        """Feature-volume dims (h, w, c) of the forward's `final`
+        activation — the darknet `layer_dims` capability
+        (models_detection/YOLO.py:136-138)."""
+        if layer != 'final':
+            raise KeyError(layer)
+        h, w = self.net_size
+        shapes = jax.eval_shape(
+            lambda v, x: self.module.apply(v, x, train=False),
+            self.variables, jnp.zeros((1, h, w, 3), jnp.float32))
+        return tuple(shapes['final'].shape[1:])
+
+    def forward_batch(self, images, layer: str = 'final',
+                      top_k: int = 16):
+        """Batched prior-source surface: images (N, H, W, 3) in [0, 1] →
+        (feats (N, fh, fw, fc), boxes (N, K, 4) center-format normalized,
+        labels (N, K), scores (N, K), valid (N, K)) — one jitted program
+        per chunk, like YOLOv2Detector.forward_batch."""
+        if layer != 'final':
+            raise KeyError(layer)
+        fn = self._forward_batch_cache.get(top_k)
+        if fn is None:
+            specs, net_size = self.specs, self.net_size
+            obj, nms = self.obj_threshold, self.nms_threshold
+
+            @jax.jit
+            def fn(v, x):
+                out = self.module.apply(v, x, train=False)
+                dec = jax.vmap(lambda *hs: decode_cfg_outputs(
+                    [h[None] for h in hs], net_size, obj, nms,
+                    top_k=top_k, specs=specs))(*out['heads'])
+                return (out['final'],) + dec
+            self._forward_batch_cache[top_k] = fn
+        return fn(self.variables, jnp.asarray(images, jnp.float32))
 
     def detect(self, input_path: str):
         """Image path → [(label, score, (cx, cy, w, h))], image-relative —
