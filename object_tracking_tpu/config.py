@@ -97,6 +97,11 @@ class DetectorConfig:
     # VGG16 backend weights: .npz of named arrays (see
     # models/vgg16.py::VGG16PriorSource.load_npz_weights).
     vgg_weights_path: Optional[str] = None
+    # VGG16 backend geometry: fc6/fc7 width and channel divisor (the
+    # committed golden fixture is a width_div=8, fc_features=128 variant
+    # of the same 13-conv topology; 4096/1 = the standard VGG16).
+    vgg_fc_features: int = 4096
+    vgg_width_div: int = 1
     # Optional darknet .cfg describing the detector graph. The reference
     # feeds any cfg to the darknet C loader (config.json:4 → YOLO.py:128);
     # here models/darknet_cfg.py compiles it to a flax module. When None,

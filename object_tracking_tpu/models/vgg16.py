@@ -64,6 +64,10 @@ class VGG16(nn.Module):
     fc_features: int = 4096
     det_classes: int = 0
     dtype: Any = jnp.float32
+    # Channel divisor for fixture-scale variants (same 13-conv topology,
+    # 1/width_div the channels — like tests/fixtures yolov2-micro vs the
+    # full yolov2): 1 = the standard VGG16 widths.
+    width_div: int = 1
 
     @nn.compact
     def __call__(self, images: jnp.ndarray):
@@ -72,7 +76,8 @@ class VGG16(nn.Module):
          'fc7': (B, fc_features)[, 'det_netout': (B,GH,GW,1,5+C)]}."""
         x = images.astype(self.dtype)
         for name, feats in _VGG_PLAN:
-            x = nn.Conv(feats, (3, 3), padding='SAME', dtype=self.dtype,
+            x = nn.Conv(max(feats // self.width_div, 4), (3, 3),
+                        padding='SAME', dtype=self.dtype,
                         name=name)(x)
             x = nn.relu(x)
             if name in _BLOCK_ENDS:
@@ -116,12 +121,14 @@ class VGG16PriorSource:
                  detection_delegate=None, weights_path: Optional[str] = None,
                  det_labels: Optional[Sequence[str]] = None,
                  conf_threshold: float = 0.8, nms_threshold: float = 0.3,
-                 seed: int = 0, dtype=jnp.float32):
+                 seed: int = 0, dtype=jnp.float32,
+                 fc_features: int = 4096, width_div: int = 1):
         self.image_h, self.image_w = image_h, image_w
         self.det_labels = tuple(det_labels) if det_labels else ()
         self.conf_threshold = conf_threshold
         self.nms_threshold = nms_threshold
-        self.module = VGG16(dtype=dtype, det_classes=len(self.det_labels))
+        self.module = VGG16(dtype=dtype, det_classes=len(self.det_labels),
+                            fc_features=fc_features, width_div=width_div)
         dummy = jnp.zeros((1, image_h, image_w, 3), jnp.float32)
         self.variables = self.module.init(jax.random.PRNGKey(seed), dummy)
         if weights_path:
@@ -156,10 +163,11 @@ class VGG16PriorSource:
         self.variables = {'params': params}
 
     def get_layer_dims(self, layer: str = 'fc7') -> Tuple[int, int, int]:
+        c5 = max(512 // self.module.width_div, 4)
         if layer == 'conv5_3':
-            return self.image_h // 16, self.image_w // 16, 512
+            return self.image_h // 16, self.image_w // 16, c5
         if layer == 'pool5':
-            return self.image_h // 32, self.image_w // 32, 512
+            return self.image_h // 32, self.image_w // 32, c5
         if layer == 'fc7':
             # The reference treats the fc feature as a 1x1 spatial volume
             # (BaseTracker.py:60 hardcodes a 1x1 feature map).
