@@ -77,15 +77,19 @@ class FusedConvLSTM(nn.Module):
             'recurrent_kernel', nn.initializers.orthogonal(),
             self.kernel + (f, 4 * f), jnp.float32)
 
-        def rconv(hid):
+        def rconv(w, hid):
             return jax.lax.conv_general_dilated(
-                hid, wh.astype(self.dtype), (1, 1), 'SAME',
+                hid, w.astype(self.dtype), (1, 1), 'SAME',
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
                 preferred_element_type=self.dtype)
 
-        def step(carry, xt):
+        # The recurrent kernel is threaded as an explicit argument (not a
+        # closure) so the sp path can hand it to context_parallel_scan as
+        # a shard_map input — see its `consts` docstring for why a
+        # closed-over param breaks the second training step.
+        def step_with(w, carry, xt):
             c_prev, h_prev = carry
-            gates = xt + rconv(h_prev)
+            gates = xt + rconv(w, h_prev)
             gi, gf, gg, go = jnp.split(gates, 4, axis=-1)
             gi = jax.nn.sigmoid(gi)
             gf = jax.nn.sigmoid(gf)
@@ -94,6 +98,9 @@ class FusedConvLSTM(nn.Module):
             c_new = gf * c_prev + gi * gg
             h_new = go * jnp.tanh(c_new)
             return (c_new, h_new), h_new
+
+        def step(carry, xt):
+            return step_with(wh, carry, xt)
 
         if initial_state is None:
             zeros = jnp.zeros((b, h, w, f), self.dtype)
@@ -124,8 +131,9 @@ class FusedConvLSTM(nn.Module):
                 raise ValueError(
                     f'time_shards={self.time_shards} must equal the mesh '
                     f'{axis!r} axis size {self.mesh.shape[axis]}')
-            ys = context_parallel_scan(step, initial_state, xs,
-                                       self.mesh, axis_name=axis)
+            ys = context_parallel_scan(step_with, initial_state, xs,
+                                       self.mesh, axis_name=axis,
+                                       consts=wh)
             return jnp.moveaxis(ys, 0, 1)
         final, ys = jax.lax.scan(step, initial_state, xs)
         ys = jnp.moveaxis(ys, 0, 1)           # (B, T, H, W, F)

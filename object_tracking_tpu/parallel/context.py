@@ -36,17 +36,19 @@ def _ring_perm(n: int):
     return [(i, (i + 1) % n) for i in range(n)]
 
 
-def context_parallel_scan(cell_fn: Callable[[Any, Any], tuple],
+def context_parallel_scan(cell_fn: Callable[..., tuple],
                           carry_init: Any,
                           xs: Any,
                           mesh: Mesh,
                           axis_name: str = 'data',
-                          halo: int = 0):
+                          halo: int = 0,
+                          consts: Any = None):
     """Scan `cell_fn` over the leading (time) axis of `xs`, sharded on
     `axis_name`.
 
     Args:
-      cell_fn: (carry, x_t) -> (carry, y_t), a plain lax.scan step.
+      cell_fn: (carry, x_t) -> (carry, y_t), a plain lax.scan step —
+        or (consts, carry, x_t) -> (carry, y_t) when `consts` is given.
       carry_init: initial recurrent state (replicated pytree).
       xs: pytree with leading time axis T, divisible by the mesh axis size.
       mesh: the framework mesh.
@@ -54,10 +56,25 @@ def context_parallel_scan(cell_fn: Callable[[Any, Any], tuple],
       halo: 0 → exact multi-round ring scan; k>0 → one-round approximate
         scan, each shard warm-started on its own first k frames after
         receiving the neighbour's carry is skipped (local burn-in).
+      consts: pytree of arrays the cell reads every step (e.g. recurrent
+        weights), passed through shard_map as explicit replicated inputs.
+        Cell weights MUST come in this way rather than by closure: a
+        closed-over param that later acquires a committed NamedSharding
+        (any jitted train step's donated state does after its first
+        call) leaks an Auto-mesh sharding into the Manual shard_map
+        body, and the scan's backward transpose then fails to
+        materialize its zero cotangents (observed on step 2 of real
+        sp training; the 2-step dryrun check exists to catch this).
 
     Returns:
       ys pytree with leading axis T, sharded on `axis_name`.
     """
+    if consts is None:
+        consts = ()
+        full_cell = lambda _k, c, x: cell_fn(c, x)   # noqa: E731
+    else:
+        full_cell = cell_fn
+
     n = mesh.shape[axis_name]
     t = jax.tree_util.tree_leaves(xs)[0].shape[0]
     if t % n:
@@ -67,8 +84,10 @@ def context_parallel_scan(cell_fn: Callable[[Any, Any], tuple],
         lambda l: P(axis_name, *([None] * (l.ndim - 1))),
         xs)
     c_spec = jax.tree_util.tree_map(lambda l: P(), carry_init)
+    k_spec = jax.tree_util.tree_map(lambda l: P(), consts)
 
-    def local(carry, xs_local):
+    def local(consts, carry, xs_local):
+        cell_fn = functools.partial(full_cell, consts)
         # The carry enters replicated (P()) but the scan over the varying
         # xs_local makes it device-varying; cast explicitly (shard_map vma).
         carry = jax.tree_util.tree_map(
@@ -108,10 +127,11 @@ def context_parallel_scan(cell_fn: Callable[[Any, Any], tuple],
         return ys
 
     shard_fn = jax.shard_map(
-        local, mesh=mesh, in_specs=(c_spec, x_spec),
+        local, mesh=mesh, in_specs=(k_spec, c_spec, x_spec),
         out_specs=jax.tree_util.tree_map(
             lambda l: P(axis_name, *([None] * (l.ndim - 1))),
             jax.eval_shape(
-                lambda c, x: jax.lax.scan(cell_fn, c, x)[1],
-                carry_init, xs)))
-    return shard_fn(carry_init, xs)
+                lambda k, c, x: jax.lax.scan(
+                    functools.partial(full_cell, k), c, x)[1],
+                consts, carry_init, xs)))
+    return shard_fn(consts, carry_init, xs)
