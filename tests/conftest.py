@@ -28,6 +28,16 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 
+# Persistent compilation cache for the suite (separate from the
+# committed TPU cache in .jax_cache/ — this one is gitignored). The
+# 1-core host spends most of the suite wall-clock recompiling the same
+# programs across test files; warm runs cut that to disk reads.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), '.jax_cache_tests')
+jax.config.update('jax_compilation_cache_dir', _cache_dir)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.3)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
