@@ -103,7 +103,20 @@ def single_object_tracking(cfg, *, synthetic: bool = False,
             detector = VGG16PriorSource(
                 image_h=cfg.detector.image_h, image_w=cfg.detector.image_w,
                 weights_path=cfg.detector.vgg_weights_path,
-                det_labels=cfg.detector.labels)
+                det_labels=cfg.detector.labels,
+                fc_features=cfg.detector.vgg_fc_features,
+                width_div=cfg.detector.vgg_width_div)
+        elif cfg.detector.cfg_path and not synthetic:
+            # any darknet cfg (+ trained .weights) as the frozen prior
+            # source — the reference's "hand the C loader any cfg"
+            # boundary (YOLO.py:128-138) feeding BaseTracker
+            from object_tracking_tpu.models.darknet_cfg import CfgDetector
+            detector = CfgDetector(
+                cfg.detector.cfg_path,
+                weights_path=cfg.detector.weights_path,
+                labels=labels or None,
+                obj_threshold=cfg.detector.obj_threshold,
+                nms_threshold=cfg.detector.nms_threshold)
         elif synthetic or not cfg.detector.weights_path:
             detector = FakeDetector(feat_shape=(4, 4, 32))
         else:
@@ -114,6 +127,12 @@ def single_object_tracking(cfg, *, synthetic: bool = False,
         # YOLO-specific default → the VGG16 path's fc7 vector (the
         # reference hardcodes that 1x1x512 shape, BaseTracker.py:60).
         feature_layer = 'fc7'
+    elif feature_layer == 'conv_feat':
+        try:
+            detector.get_layer_dims(feature_layer)
+        except KeyError:
+            # cfg-compiled prior source exposes its last activation
+            feature_layer = 'final'
 
     def build(split_img, split_ann):
         anns, seen = parse_annotation_dir(
