@@ -97,7 +97,8 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
     per_video = {
         k: {'mota': round(float(r['mota']), 4),
             'id_switches': int(r['id_switches'])}
-        for k, r in results.items() if k != 'overall'}
+        for k, r in results.items()
+        if k not in ('overall', 'detection')}
     # every pair of crossing objects in a video meets once mid-clip
     crossings_per_video = (objects * (objects - 1) // 2 if crossing
                            else 0)

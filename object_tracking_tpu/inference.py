@@ -38,7 +38,12 @@ class JointPredictor:
                  nms_threshold: float = 0.45,
                  head: str = 'track',        # reference uses the tracking
                                              # head output (:307)
-                 iou_threshold: float = 0.5,
+                 # Track-association gate (NOT the NMS/eval threshold).
+                 # SORT-style: deliberately permissive — at 0.5 an object
+                 # moving ~a quarter box-width per frame diagonally fails
+                 # its own next-frame match, the velocity model never
+                 # locks, and every fast mover fragments into new ids.
+                 iou_threshold: float = 0.3,
                  net_size: Tuple[int, int] = (416, 416),
                  bn_mode: str = 'batch',     # 'batch' = reference parity
                                              # (K.set_learning_phase(1)

@@ -66,8 +66,15 @@ class TrackState(NamedTuple):
     """Fixed-shape, device-resident track table for jitted identity
     assignment — the in-jit counterpart of the host TrackManager. All
     arrays are length MAX_TRACKS (slot-indexed); `ids` holds the public
-    track id of each slot, `age` the frames since last match."""
+    track id of each slot, `age` the frames since last match, `vel` the
+    EMA of the per-frame center displacement (constant-velocity motion
+    model: matching happens against the motion-PREDICTED box, and
+    unmatched tracks coast along their velocity — without it a track
+    whose object moves during a missed/occluded frame is re-acquired
+    below the IoU gate and switches identity; crossing objects also
+    greedily swap, since stale boxes overlap the wrong detection)."""
     boxes: jnp.ndarray     # (S, 4) center-format
+    vel: jnp.ndarray       # (S, 2) center velocity / frame
     labels: jnp.ndarray    # (S,) int32 class ids
     ids: jnp.ndarray       # (S,) int32 public ids (-1 = unused slot)
     age: jnp.ndarray       # (S,) int32
@@ -79,6 +86,7 @@ def init_track_state(max_tracks: int = 64) -> TrackState:
     s = max_tracks
     return TrackState(
         boxes=jnp.zeros((s, 4), jnp.float32),
+        vel=jnp.zeros((s, 2), jnp.float32),
         labels=jnp.full((s,), -1, jnp.int32),
         ids=jnp.full((s,), -1, jnp.int32),
         age=jnp.zeros((s,), jnp.int32),
@@ -88,23 +96,28 @@ def init_track_state(max_tracks: int = 64) -> TrackState:
 
 def assign_tracks(state: TrackState, boxes: jnp.ndarray,
                   labels: jnp.ndarray, valid: jnp.ndarray,
-                  iou_threshold: float = 0.5, max_age: int = 3
+                  iou_threshold: float = 0.5, max_age: int = 3,
+                  vel_smooth: float = 0.6
                   ) -> Tuple[TrackState, jnp.ndarray]:
-    """One frame of class-aware greedy track assignment, fully jittable.
+    """One frame of class-aware, motion-aware greedy track assignment,
+    fully jittable.
 
-    Matches current detections to live tracks by descending IoU (same
-    class only), assigns fresh ids to unmatched detections (into free
-    slots; when the table is full the excess detections get id -1),
-    ages unmatched tracks and retires those unseen for > max_age frames
-    — TrackManager.update semantics as a pure fixed-shape function, so
-    identity assignment runs INSIDE the jitted predict program instead
-    of a host round-trip per frame.
+    Matches current detections to live tracks by descending IoU against
+    each track's constant-velocity PREDICTED box (SORT-style; see
+    TrackState.vel), assigns fresh ids to unmatched detections (into
+    free slots; when the table is full the excess detections get id -1),
+    ages unmatched tracks — which coast along their velocity so a
+    reappearing object still overlaps its track — and retires those
+    unseen for > max_age frames. TrackManager.update semantics as a pure
+    fixed-shape function, so identity assignment runs INSIDE the jitted
+    predict program instead of a host round-trip per frame.
 
     Returns (new_state, det_ids (M,) int32 — -1 for invalid detections).
     """
     s = state.boxes.shape[0]
     m = boxes.shape[0]
-    iou = pairwise_iou_center(state.boxes, boxes)            # (S, M)
+    pred_boxes = state.boxes.at[:, :2].add(state.vel)        # (S, 4)
+    iou = pairwise_iou_center(pred_boxes, boxes)             # (S, M)
     ok = (state.active[:, None] & valid[None, :]
           & (state.labels[:, None] == labels[None, :]))
     iou = jnp.where(ok, iou, -1.0)
@@ -157,15 +170,31 @@ def assign_tracks(state: TrackState, boxes: jnp.ndarray,
     write = matched_det | placeable
     slot = jnp.where(write, jnp.where(matched_det, slot_of_det, new_slot),
                      s)
-    new_boxes = state.boxes.at[slot].set(boxes, mode='drop')
+    # unmatched live tracks coast along their velocity (so a track hidden
+    # for k frames sits ~where its object reappears); matched slots are
+    # overwritten with the detection below
+    coast = jnp.where((state.active & ~slot_hit)[:, None],
+                      pred_boxes, state.boxes)
+    new_boxes = coast.at[slot].set(boxes, mode='drop')
+    # EMA velocity for matched tracks; fresh tracks start at rest. A
+    # track still at rest bootstraps to the full observed displacement
+    # (EMA from zero would lag ~1/vel_smooth frames behind a constant
+    # velocity — enough to miss a re-acquisition after an occlusion).
+    inst_vel = boxes[:, :2] - state.boxes[slot_of_det, :2]
+    prev_vel = state.vel[slot_of_det]
+    at_rest = jnp.all(prev_vel == 0.0, axis=-1, keepdims=True)
+    ema = vel_smooth * inst_vel + (1.0 - vel_smooth) * prev_vel
+    det_vel = jnp.where(matched_det[:, None],
+                        jnp.where(at_rest, inst_vel, ema), 0.0)
+    new_vel = state.vel.at[slot].set(det_vel, mode='drop')
     new_labels = state.labels.at[slot].set(labels, mode='drop')
     new_ids = state.ids.at[slot].set(det_ids, mode='drop')
     age = age.at[slot].set(0, mode='drop')
     active = active.at[slot].set(True, mode='drop')
 
     new_state = TrackState(
-        boxes=new_boxes, labels=new_labels, ids=new_ids, age=age,
-        active=active,
+        boxes=new_boxes, vel=new_vel, labels=new_labels, ids=new_ids,
+        age=age, active=active,
         next_id=state.next_id + jnp.sum(placeable.astype(jnp.int32)))
     return new_state, det_ids
 
@@ -199,23 +228,34 @@ class TrackManager:
     """Host-side identity book-keeping over per-frame detections.
 
     update() matches current detections to live tracks (Hungarian on
-    IoU), assigns new IDs to unmatched detections, and retires tracks
-    unseen for `max_age` frames.
+    IoU against each track's constant-velocity PREDICTED box — the same
+    SORT-style motion model as the in-jit TrackState), assigns new IDs
+    to unmatched detections, coasts unmatched tracks along their
+    velocity, and retires tracks unseen for `max_age` frames.
     """
 
-    def __init__(self, iou_threshold: float = 0.5, max_age: int = 3):
+    def __init__(self, iou_threshold: float = 0.5, max_age: int = 3,
+                 vel_smooth: float = 0.6):
         self.iou_threshold = iou_threshold
         self.max_age = max_age
+        self.vel_smooth = vel_smooth
         self._next_id = 0
         self._tracks: Dict[int, np.ndarray] = {}     # id → last box
+        self._vel: Dict[int, np.ndarray] = {}        # id → center vel
         self._labels: Dict[int, int] = {}            # id → class id
         self._age: Dict[int, int] = {}
 
     def reset(self) -> None:
         self._next_id = 0
         self._tracks.clear()
+        self._vel.clear()
         self._labels.clear()
         self._age.clear()
+
+    def _predicted(self, tid: int) -> np.ndarray:
+        box = self._tracks[tid].copy()
+        box[:2] += self._vel.get(tid, 0.0)
+        return box
 
     def update(self, boxes: np.ndarray,
                labels: Optional[np.ndarray] = None) -> List[int]:
@@ -225,7 +265,7 @@ class TrackManager:
         a detection never continues a track of a different class.
         """
         ids = list(self._tracks.keys())
-        prev = np.stack([self._tracks[i] for i in ids]) if ids else \
+        prev = np.stack([self._predicted(i) for i in ids]) if ids else \
             np.zeros((0, 4), np.float32)
         prev_labels = None
         if labels is not None and ids:
@@ -242,9 +282,19 @@ class TrackManager:
         for j in range(len(boxes)):
             if j in matched_b:
                 tid = matched_b[j]
+                inst = np.asarray(boxes[j], np.float32)[:2] \
+                    - self._tracks[tid][:2]
+                prev = self._vel.get(tid, np.zeros(2, np.float32))
+                # bootstrap a track at rest to the full displacement
+                # (EMA from zero lags a constant velocity too far to
+                # re-acquire after an occlusion gap)
+                self._vel[tid] = inst if not prev.any() else (
+                    self.vel_smooth * inst
+                    + (1.0 - self.vel_smooth) * prev)
             else:
                 tid = self._next_id
                 self._next_id += 1
+                self._vel[tid] = np.zeros(2, np.float32)
             out.append(tid)
             seen.add(tid)
             self._tracks[tid] = np.asarray(boxes[j], np.float32)
@@ -257,4 +307,9 @@ class TrackManager:
                 if self._age[tid] > self.max_age:
                     del self._tracks[tid], self._age[tid]
                     self._labels.pop(tid, None)
+                    self._vel.pop(tid, None)
+                else:
+                    # coast: next frame's match happens against the
+                    # position the object should have reached
+                    self._tracks[tid] = self._predicted(tid)
         return out

@@ -235,3 +235,63 @@ class TestAssignTracks:
             for d, h in zip(dev_ids, host_ids):
                 id_map.setdefault(int(d), int(h))
                 assert id_map[int(d)] == int(h)
+
+
+# ---------------------------------------------------------------------------
+# Constant-velocity motion model (SORT-style): id persistence through
+# occlusion gaps and crossings that static-IoU matching cannot survive
+# ---------------------------------------------------------------------------
+class TestMotionModel(TestAssignTracks):
+
+    def test_reacquire_after_occlusion_gap(self):
+        """Object moving 0.03/frame (matchable through the 0.3 gate)
+        hidden for 3 frames: the reappearance point is ~1.2 box-widths
+        past the last seen box (static IoU ≈ 0 — below any gate); the
+        coasting track follows the motion and keeps the id."""
+        from object_tracking_tpu.ops.matching import init_track_state
+        ts = init_track_state(8)
+        tid = None
+        # establish the track + its velocity over 3 visible frames
+        for k in range(3):
+            ts, ids = self._step(ts, [(0.1 + 0.03 * k, 0.5, 0.1, 0.1, 0)],
+                                 iou=0.3)
+            tid = ids[0]
+        for _ in range(3):                       # occluded 3 frames
+            ts, _ = self._step(ts, [], iou=0.3)
+        # static-box IoU at reappearance: centers 0.12 apart, box 0.1
+        # wide -> no overlap at all
+        ts, ids = self._step(ts, [(0.1 + 0.03 * 6, 0.5, 0.1, 0.1, 0)],
+                             iou=0.3)
+        assert ids[0] == tid, 'id lost across the occlusion gap'
+
+    def test_crossing_objects_keep_ids(self):
+        """Two same-class objects pass through each other; velocity-
+        predicted matching keeps each id on its own trajectory."""
+        from object_tracking_tpu.ops.matching import init_track_state
+        ts = init_track_state(8)
+        # left->right and right->left along y=0.5, meeting at x=0.5
+        xs_a = np.linspace(0.3, 0.7, 17)
+        xs_b = xs_a[::-1]
+        first = None
+        for k, (xa, xb) in enumerate(zip(xs_a, xs_b)):
+            ts, ids = self._step(
+                ts, [(xa, 0.5, 0.08, 0.08, 0), (xb, 0.5, 0.08, 0.08, 0)],
+                iou=0.3)
+            if first is None:
+                first = list(ids)
+            assert list(ids) == first, f'id swap at step {k}: {ids}'
+
+    def test_host_manager_reacquires_after_gap(self):
+        from object_tracking_tpu.ops.matching import TrackManager
+        tm = TrackManager(iou_threshold=0.3, max_age=3)
+        tid = None
+        for k in range(3):
+            out = tm.update(np.array([[0.1 + 0.03 * k, 0.5, 0.1, 0.1]],
+                                     np.float32), labels=np.array([0]))
+            tid = out[0]
+        for _ in range(3):
+            tm.update(np.zeros((0, 4), np.float32),
+                      labels=np.zeros((0,), np.int64))
+        out = tm.update(np.array([[0.1 + 0.03 * 6, 0.5, 0.1, 0.1]],
+                                 np.float32), labels=np.array([0]))
+        assert out[0] == tid
