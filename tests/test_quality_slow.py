@@ -20,3 +20,6 @@ def test_train_quality_miniature(tmp_path):
     assert np.isfinite(out['map'])
     assert np.isfinite(out['mota'])
     assert -10.0 < out['mota'] <= 1.0
+    # the miniature runs the round-3 multi-object scene shape end-to-end
+    assert out['scene']['objects_per_frame'] == 3
+    assert out['per_video'], 'per-video CLEAR-MOT table missing'
