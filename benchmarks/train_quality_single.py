@@ -120,6 +120,11 @@ def run(epochs: int = 30, size: int = 160, videos: int = 16,
         cfg = Config()
         cfg.tracker.name = ('TinyHeatmapTracker' if heatmap
                             else 'TinyTracker')
+        # bbox head trains with the production smooth-L1 (the parity BCE
+        # objective bottoms out at the coordinate targets' entropy long
+        # before the box is tight; heatmap targets are binary, BCE fits)
+        if not heatmap:
+            cfg.tracker.loss = 'huber'
         cfg.train.classes = labels
         cfg.train.batch_size = batch_size
         cfg.train.learning_rate = lr

@@ -139,6 +139,12 @@ class TrackerConfig:
     sequence_length: int = 4
     heatmap_size: int = 32
     pool: str = 'Global'          # 'Global' or 'Max' (config.json:33)
+    # 'bce' = reference parity (Keras binary_crossentropy on the sigmoid
+    # bbox outputs, TinyTracker.py:40); 'huber' = production smooth-L1 —
+    # BCE against continuous coordinates bottoms out at the targets'
+    # entropy with vanishing gradients, huber trains the bbox head to a
+    # tight fit.
+    loss: str = 'bce'
 
 
 @dataclass

@@ -180,8 +180,10 @@ def single_object_tracking(cfg, *, synthetic: bool = False,
     # skips saves with step <= latest existing step, so restarting the
     # counter at 1 would write NO checkpoints until it passed the prior
     # run's last step (ADVICE r2). `epochs` counts additional epochs.
-    state = fit(state, make_tiny_train_step(heatmap),
-                train_gen, eval_step=make_tiny_eval_step(heatmap),
+    loss_name = cfg.tracker.loss
+    state = fit(state, make_tiny_train_step(heatmap, loss_name),
+                train_gen,
+                eval_step=make_tiny_eval_step(heatmap, loss_name),
                 val_batches=val_gen,
                 epochs=at + (epochs or cfg.train.max_epochs),
                 initial_epoch=at,

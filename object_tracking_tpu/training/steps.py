@@ -172,16 +172,33 @@ def make_detector_train_step(anchors,
     return step
 
 
-def _tiny_loss(variables, apply_fn, batch, heatmap: bool):
+def _tiny_loss(variables, apply_fn, batch, heatmap: bool,
+               loss_name: str = 'bce'):
     pred = apply_fn(variables, batch['feats'], batch['det'])
-    loss = binary_crossentropy(pred, batch['target'])
+    if loss_name == 'bce':
+        # reference parity: Keras binary_crossentropy on the sigmoid
+        # outputs, even for continuous bbox targets
+        # (models_tracking/TinyTracker.py:40)
+        loss = binary_crossentropy(pred, batch['target'])
+    elif loss_name == 'huber':
+        # production objective for the bbox head: BCE against continuous
+        # coordinate targets bottoms out at the targets' own entropy and
+        # its gradient vanishes long before the box is tight — smooth-L1
+        # keeps pulling to convergence
+        diff = pred.astype(jnp.float32) - batch['target'].astype(
+            jnp.float32)
+        a = jnp.abs(diff)
+        loss = jnp.mean(jnp.where(a < 1.0, 0.5 * diff * diff, a - 0.5))
+    else:
+        raise ValueError(f'unknown tracker loss {loss_name!r}')
     metrics = {'loss': loss}
     if heatmap:
         metrics['heatmap_acc'] = heatmap_accuracy(pred, batch['target'])
     return loss, metrics
 
 
-def make_tiny_train_step(heatmap: bool = False) -> Callable:
+def make_tiny_train_step(heatmap: bool = False,
+                         loss_name: str = 'bce') -> Callable:
     """TinyTracker / TinyHeatmapTracker step. Batch: feats (B, T, h, w, c),
     det (B, T, D), target (B, T, out_dim)."""
 
@@ -189,7 +206,7 @@ def make_tiny_train_step(heatmap: bool = False) -> Callable:
     def step(state, batch):
         grad_fn = jax.value_and_grad(
             lambda p: _tiny_loss({'params': p}, state.apply_fn, batch,
-                                 heatmap),
+                                 heatmap, loss_name),
             has_aux=True)
         (_, metrics), grads = grad_fn(state.params)
         return state.apply_gradients(grads), metrics
@@ -197,12 +214,13 @@ def make_tiny_train_step(heatmap: bool = False) -> Callable:
     return step
 
 
-def make_tiny_eval_step(heatmap: bool = False) -> Callable:
+def make_tiny_eval_step(heatmap: bool = False,
+                        loss_name: str = 'bce') -> Callable:
 
     @jax.jit
     def step(state, batch):
         _, metrics = _tiny_loss(state.variables, state.apply_fn, batch,
-                                heatmap)
+                                heatmap, loss_name)
         return metrics
 
     return step

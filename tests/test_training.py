@@ -99,6 +99,27 @@ def test_tiny_train_step_learns(rng):
     assert float(m['loss']) < first
 
 
+def test_tiny_train_step_huber_converges_tighter_than_bce(rng):
+    """The production 'huber' objective drives continuous bbox targets
+    much closer than parity BCE in the same budget (BCE bottoms out at
+    the targets' entropy; TrackerConfig.loss docs)."""
+    batch = _tiny_batch(rng)
+    batch['target'] = jnp.asarray(rng.rand(2, 3, 4) * 0.6 + 0.2,
+                                  jnp.float32)   # continuous coords
+
+    def train(loss_name, steps=60):
+        tt = TinyTracker(lstm_units=16, out_dim=4)
+        v = tt.init(jax.random.PRNGKey(0), batch['feats'], batch['det'])
+        st = TrainState.create(tt.apply, v, make_optimizer(1e-2))
+        step = make_tiny_train_step(loss_name=loss_name)
+        for _ in range(steps):
+            st, _ = step(st, batch)
+        pred = tt.apply(st.variables, batch['feats'], batch['det'])
+        return float(jnp.mean(jnp.abs(pred - batch['target'])))
+
+    assert train('huber') < train('bce') * 0.7
+
+
 def test_tiny_eval_step_heatmap_metrics(rng):
     tt = TinyTracker(lstm_units=8, out_dim=16)
     batch = _tiny_batch(rng, out=16)
