@@ -99,25 +99,26 @@ def test_tiny_train_step_learns(rng):
     assert float(m['loss']) < first
 
 
-def test_tiny_train_step_huber_converges_tighter_than_bce(rng):
-    """The production 'huber' objective drives continuous bbox targets
-    much closer than parity BCE in the same budget (BCE bottoms out at
-    the targets' entropy; TrackerConfig.loss docs)."""
+def test_tiny_train_step_huber_fits_continuous_coords(rng):
+    """The production 'huber' objective (TrackerConfig.loss) trains the
+    bbox head onto continuous coordinate targets: loss decreases and the
+    fit is tight; eval step reports the same objective."""
     batch = _tiny_batch(rng)
     batch['target'] = jnp.asarray(rng.rand(2, 3, 4) * 0.6 + 0.2,
                                   jnp.float32)   # continuous coords
-
-    def train(loss_name, steps=60):
-        tt = TinyTracker(lstm_units=16, out_dim=4)
-        v = tt.init(jax.random.PRNGKey(0), batch['feats'], batch['det'])
-        st = TrainState.create(tt.apply, v, make_optimizer(1e-2))
-        step = make_tiny_train_step(loss_name=loss_name)
-        for _ in range(steps):
-            st, _ = step(st, batch)
-        pred = tt.apply(st.variables, batch['feats'], batch['det'])
-        return float(jnp.mean(jnp.abs(pred - batch['target'])))
-
-    assert train('huber') < train('bce') * 0.7
+    tt = TinyTracker(lstm_units=16, out_dim=4)
+    v = tt.init(jax.random.PRNGKey(0), batch['feats'], batch['det'])
+    st = TrainState.create(tt.apply, v, make_optimizer(1e-2))
+    step = make_tiny_train_step(loss_name='huber')
+    first = None
+    for _ in range(60):
+        st, m = step(st, batch)
+        first = first if first is not None else float(m['loss'])
+    assert float(m['loss']) < first * 0.1
+    pred = tt.apply(st.variables, batch['feats'], batch['det'])
+    assert float(jnp.mean(jnp.abs(pred - batch['target']))) < 0.05
+    ev = make_tiny_eval_step(loss_name='huber')(st, batch)
+    assert float(ev['loss']) == pytest.approx(float(m['loss']), rel=0.5)
 
 
 def test_tiny_eval_step_heatmap_metrics(rng):
