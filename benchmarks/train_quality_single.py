@@ -125,6 +125,7 @@ def run(epochs: int = 30, size: int = 160, videos: int = 16,
         # before the box is tight; heatmap targets are binary, BCE fits)
         if not heatmap:
             cfg.tracker.loss = 'huber'
+            cfg.tracker.residual = True
         cfg.train.classes = labels
         cfg.train.batch_size = batch_size
         cfg.train.learning_rate = lr

@@ -145,6 +145,11 @@ class TrackerConfig:
     # entropy with vanishing gradients, huber trains the bbox head to a
     # tight fit.
     loss: str = 'bce'
+    # Production bbox head: predict a zero-initialized tanh correction
+    # to the detection input (model == detector echo at init) instead of
+    # the reference's from-scratch sigmoid head — see
+    # models/tiny_tracker.py::TinyTracker.residual_det.
+    residual: bool = False
 
 
 @dataclass

@@ -30,6 +30,15 @@ class TinyTracker(nn.Module):
     out_dim: int = 4          # 4 → bbox head; hmap² → heatmap head
     pool: str = 'Global'      # 'Global' | 'Max' (config.json:33)
     dtype: Any = jnp.float32
+    # Production bbox head: predict a tanh CORRECTION to the detection
+    # input instead of the box from scratch (zero-initialized output
+    # layer → the model IS the detector echo at init, and training only
+    # learns temporal smoothing/occlusion fill-in on top). The
+    # from-scratch sigmoid head (reference parity, TinyTracker.py:37)
+    # generalizes far worse: measured val huber 0.0018 vs the echo's
+    # ~0.0003 — it memorizes training box statistics rather than
+    # discovering the 4-of-39-input echo solution.
+    residual_det: bool = False
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, det: jnp.ndarray):
@@ -52,5 +61,12 @@ class TinyTracker(nn.Module):
         cell = nn.OptimizedLSTMCell(self.lstm_units, dtype=self.dtype)
         x = nn.RNN(cell, name='recurrent_layer')(x)
 
+        if self.residual_det:
+            delta = nn.Dense(self.out_dim, dtype=self.dtype,
+                             kernel_init=nn.initializers.zeros,
+                             bias_init=nn.initializers.zeros,
+                             name='output')(x)
+            return (det.astype(jnp.float32)
+                    + jnp.tanh(delta).astype(jnp.float32))
         y = nn.Dense(self.out_dim, dtype=self.dtype, name='output')(x)
         return nn.sigmoid(y).astype(jnp.float32)

@@ -155,7 +155,8 @@ def single_object_tracking(cfg, *, synthetic: bool = False,
 
     out_dim = cfg.tracker.heatmap_size ** 2 if heatmap else 4
     model = TinyTracker(lstm_units=cfg.tracker.lstm_units,
-                        out_dim=out_dim, pool=cfg.tracker.pool)
+                        out_dim=out_dim, pool=cfg.tracker.pool,
+                        residual_det=cfg.tracker.residual and not heatmap)
     fh, fw, fc = detector.get_layer_dims(feature_layer)
     t = cfg.tracker.sequence_length
     variables = model.init(

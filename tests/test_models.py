@@ -212,3 +212,22 @@ def test_weight_exporter_inverse_of_loader():
         os.unlink(src)
         if os.path.exists(out):
             os.unlink(out)
+
+
+def test_tiny_tracker_residual_head_is_echo_at_init(rng):
+    """residual_det=True: zero-initialized correction head → the model
+    reproduces its detection input exactly at init (the production bbox
+    head's whole point: generalization starts from the detector echo,
+    training only learns temporal smoothing on top)."""
+    import jax
+    import jax.numpy as jnp
+
+    from object_tracking_tpu.models import TinyTracker
+
+    tt = TinyTracker(lstm_units=8, out_dim=4, residual_det=True)
+    feats = jnp.asarray(rng.rand(2, 3, 4, 4, 8), jnp.float32)
+    det = jnp.asarray(rng.rand(2, 3, 4), jnp.float32)
+    v = tt.init(jax.random.PRNGKey(0), feats, det)
+    out = tt.apply(v, feats, det)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(det),
+                               rtol=0, atol=1e-6)
