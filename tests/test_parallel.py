@@ -99,6 +99,9 @@ def test_tp_specs_shard_large_kernels_only():
     assert summary['sharded'][0] == 2
 
 
+@pytest.mark.slow     # ~4 min: full joint train step compiled twice
+#                        (dp and dpxtp); the driver's dryrun_multichip
+#                        runs the same comparison every round
 def test_tp_train_step_matches_dp_only(rng):
     """A dpxtp-sharded joint train step must agree with dp-only."""
     import copy

@@ -61,6 +61,9 @@ def test_single_object_heatmap_flow(tiny_cfg, tmp_path):
     assert int(state.step) > 0
 
 
+@pytest.mark.slow     # ~13 min of joint-model compiles on the 1-core
+#                        host; the fast tier covers the joint flow via
+#                        test_cli_main_joint, resume via this slow guard
 def test_joint_flow_and_resume(tiny_cfg, tmp_path):
     from object_tracking_tpu.trainer import (
         simult_multi_obj_detection_tracking)
