@@ -24,7 +24,10 @@ Reliability contract (the driver runs this under a hard timeout):
   actual scalar pull (block_until_ready returns before remote execution
   completes here — block-fenced loops measure dispatch rate and read
   ~2x over chip peak). The process's first pull costs a one-time
-  85-440 s tunnel setup, paid up front and logged.
+  85-440 s tunnel setup; it is paid by the first FENCE pull, after
+  model init + compile (round-3 fix: paying it serially up FRONT lost
+  the race against the watchdog; overlapping it on a side thread can
+  wedge the axon client — all device work stays single-threaded).
 - the reference denominator comes from benchmarks/MEASURED.json
   (measured on this same chip by `bench.py --full --record`, time-based:
   >= OTT_BENCH_REF_SECS, default 30 s of sampled frames); the emitted
@@ -92,6 +95,12 @@ def _emit_once() -> bool:
         'value': round(float(native), 2),
         'unit': 'frames/sec',
         'vs_baseline': round(float(native) / ref, 2) if ref else 0.0,
+        # True iff the headline value was measured fresh in THIS process
+        # (the reference denominator may still come from MEASURED.json —
+        # the note says so); False = watchdog fallback, value is the
+        # recorded number. Machine-readable so consumers need not parse
+        # the free-text note (ADVICE r3).
+        'measured': _state['native_fps'] is not None,
     }
     if note:
         out['note'] = '; '.join(note)
@@ -100,7 +109,22 @@ def _emit_once() -> bool:
 
 
 def _watchdog() -> None:
-    time.sleep(max(_BUDGET - (time.perf_counter() - _T0), 0.0))
+    # Dynamic deadline: the base budget is 240 s, but the driver's own
+    # external timeout is demonstrably > 240 s (BENCH_r03 captured our
+    # 240.0 s watchdog line and recorded rc=0, so the process outlived
+    # it; BENCH_r02's rc=124 kill produced nothing). If the one-time d2h
+    # tunnel setup lands LATE in the window, only ~15 s of fence+timing
+    # remain after it — extend once to let the fresh number finish,
+    # capped at +45 s so we still beat a 300 s external kill.
+    while True:
+        now = time.perf_counter() - _T0
+        deadline = _BUDGET
+        paid = _state.get('setup_paid_at')
+        if paid is not None and paid > _BUDGET - 40.0:
+            deadline = min(paid + 40.0, _BUDGET + 45.0)
+        if now >= deadline:
+            break
+        time.sleep(min(deadline - now, 1.0))
     if _emit_once():
         _log('budget reached — emitted with fallback values')
         os._exit(0)
@@ -193,14 +217,21 @@ def main() -> None:
     # observed an impossible 1659 TFLOP/s that way, ~2x chip peak). The
     # only truthful fence is an actual device->host pull of a value the
     # whole chain depends on, and the process's FIRST pull costs a
-    # one-time 85-440 s tunnel setup. So: pay the setup up front with a
-    # tiny pull, chain iterations through a device-resident scalar salt
-    # (so steps cannot overlap or be elided), and end each timed sample
-    # with a scalar pull (~0.1 s RTT amortized over a >= 5 s sample).
+    # one-time 85-440 s tunnel setup. So: do init + compile first (no
+    # d2h needed), let the first fence pull pay the setup, chain
+    # iterations through a device-resident scalar salt (so steps cannot
+    # overlap or be elided), and end each timed sample with a scalar
+    # pull (~0.1 s RTT amortized over a >= 5 s sample).
     _log(f'devices: {jax.devices()}')
-    _log('paying one-time d2h setup (tiny pull, may take minutes)...')
-    np.asarray(jnp.zeros(1))
-    _log('d2h setup paid')
+    # One-time d2h tunnel setup (85-440 s lottery): round 3 paid it
+    # FIRST, serially, and lost the race against the watchdog; a
+    # side-thread overlap is out (a concurrent pull while the main
+    # thread uses the device can wedge the axon client — verify skill,
+    # 2026-08-20). Instead, order the single-threaded work so the setup
+    # is paid by the FIRST FENCE PULL, *after* model init + compile:
+    # init and jit dispatch never need device->host, so everything that
+    # can be done before the tunnel warms up is already done, and only
+    # ~10 s of timing remains after the setup completes.
     model = MultiObjDetTracker(num_classes=num_classes, num_anchors=5,
                                convlstm_features=512,
                                dtype=jnp.bfloat16)
@@ -228,7 +259,10 @@ def main() -> None:
     salt = jax.device_put(jnp.float32(0))
     _log('compiling native step (cached after first run)...')
     res, salt = native_step(variables, clip_u8, salt)   # compile
+    _log('compile dispatched; first fence pull pays the d2h setup...')
     float(np.asarray(salt))                             # true fence
+    _state['setup_paid_at'] = time.perf_counter() - _T0
+    _log('d2h setup paid')
     _log('native step compiled; timing (chained, pull-fenced)...')
     start = time.perf_counter()
     for _ in range(100):

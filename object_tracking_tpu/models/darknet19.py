@@ -45,6 +45,13 @@ class Darknet19(nn.Module):
     num_classes: int = 80
     num_anchors: int = 5
     dtype: Any = jnp.float32
+    # Divide every backbone channel width by this (floor 4). Topology,
+    # taps, pool plan, and the space-to-depth skip are unchanged, so a
+    # width-divided model preserves every structural and sharding
+    # property of the full one at a fraction of the FLOPs — the same
+    # fixture-scale trick as models/vgg16.py `width_div` (used by the
+    # committed golden fixture) and the multi-chip dry run.
+    width_div: int = 1
 
     # (conv index, features, kernel) with pools after 1, 2, 5, 8, 13
     _PLAN: Tuple[Tuple[int, int, int], ...] = (
@@ -58,6 +65,7 @@ class Darknet19(nn.Module):
 
     def _block(self, x, idx: int, features: int, kernel: int,
                train: bool):
+        features = max(features // self.width_div, 4)
         x = nn.Conv(features, (kernel, kernel), use_bias=False,
                     padding='SAME', dtype=self.dtype,
                     name=f'conv_{idx}')(x)

@@ -40,6 +40,9 @@ class MultiObjDetTracker(nn.Module):
     convlstm_features: int = 512
     dtype: Any = jnp.float32
     remat: bool = False
+    # Backbone channel-width divisor (see Darknet19.width_div): fixture/
+    # dry-run scale with full structural + sharding fidelity.
+    width_div: int = 1
     # > 0 swaps the dense 1x1 output conv for a per-grid-cell
     # mixture-of-experts head (models/moe_head.py) whose expert-stacked
     # parameters shard over the mesh `model` axis — expert parallelism.
@@ -91,7 +94,8 @@ class MultiObjDetTracker(nn.Module):
                         if self.remat else Darknet19)
         det = detector_cls(num_classes=self.num_classes,
                            num_anchors=self.num_anchors,
-                           dtype=self.dtype, name='detector')(flat, train)
+                           dtype=self.dtype, width_div=self.width_div,
+                           name='detector')(flat, train)
         gh, gw = det['netout'].shape[1:3]
         out_ch = self.num_anchors * (5 + self.num_classes)
 
