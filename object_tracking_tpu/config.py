@@ -23,6 +23,14 @@ YOLOV2_ANCHORS: Tuple[float, ...] = (
     5.47434, 7.88282, 3.52778, 9.77052, 9.16828,
 )
 
+# Track-association IoU gate shared by every identity-assignment layer
+# (ops/matching.assign_tracks, TrackManager, inference.JointPredictor).
+# SORT-style permissive 0.3: at 0.5 an object moving ~a quarter
+# box-width per frame diagonally fails its own next-frame match and
+# fragments into new ids (ADVICE r3: one constant so the layers can't
+# drift). NOT the NMS threshold and NOT the eval match threshold.
+TRACK_GATE_IOU: float = 0.3
+
 # Label sets (reference: KerasYOLO.py:20-37, MultiObjDetTracker.py:70-80)
 LABELS_COCO: Tuple[str, ...] = (
     'person', 'bicycle', 'car', 'motorcycle', 'airplane', 'bus',

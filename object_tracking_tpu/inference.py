@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from object_tracking_tpu.config import DetectorConfig, JointConfig
+from object_tracking_tpu.config import (
+    TRACK_GATE_IOU, DetectorConfig, JointConfig)
 from object_tracking_tpu.ops.decode import boxes_to_list, decode_and_nms
 from object_tracking_tpu.ops.matching import (
     TrackManager, assign_tracks, init_track_state)
@@ -38,12 +39,10 @@ class JointPredictor:
                  nms_threshold: float = 0.45,
                  head: str = 'track',        # reference uses the tracking
                                              # head output (:307)
-                 # Track-association gate (NOT the NMS/eval threshold).
-                 # SORT-style: deliberately permissive — at 0.5 an object
-                 # moving ~a quarter box-width per frame diagonally fails
-                 # its own next-frame match, the velocity model never
-                 # locks, and every fast mover fragments into new ids.
-                 iou_threshold: float = 0.3,
+                 # Track-association gate (NOT the NMS/eval threshold);
+                 # shared constant — see config.TRACK_GATE_IOU for why
+                 # 0.3 (ADVICE r3: one value across all layers).
+                 iou_threshold: float = TRACK_GATE_IOU,
                  net_size: Tuple[int, int] = (416, 416),
                  bn_mode: str = 'batch',     # 'batch' = reference parity
                                              # (K.set_learning_phase(1)

@@ -547,8 +547,13 @@ class CfgDetector:
             img = cv2.imread(input_path)
             ih, iw = img.shape[:2]
             for label, score, (cx, cy, bw, bh) in dets:
-                x0 = int((cx - bw / 2) * iw); y0 = int((cy - bh / 2) * ih)
-                x1 = int((cx + bw / 2) * iw); y1 = int((cy + bh / 2) * ih)
+                if not all(np.isfinite(v) for v in (cx, cy, bw, bh)):
+                    continue    # garbage box (e.g. exp-decode overflow)
+                # clamp to the frame: int() of a huge float overflows
+                x0 = int(np.clip((cx - bw / 2) * iw, 0, iw - 1))
+                y0 = int(np.clip((cy - bh / 2) * ih, 0, ih - 1))
+                x1 = int(np.clip((cx + bw / 2) * iw, 0, iw - 1))
+                y1 = int(np.clip((cy + bh / 2) * ih, 0, ih - 1))
                 cv2.rectangle(img, (x0, y0), (x1, y1), (0, 255, 0), 2)
                 cv2.putText(img, f'{label} {score:.2f}', (x0, max(y0 - 4, 10)),
                             cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1)

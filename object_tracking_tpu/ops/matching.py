@@ -22,13 +22,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from object_tracking_tpu.config import TRACK_GATE_IOU
 from object_tracking_tpu.ops.boxes import pairwise_iou_center
 
 
 @functools.partial(jax.jit, static_argnames=('iou_threshold',))
 def greedy_match(boxes_a: jnp.ndarray, valid_a: jnp.ndarray,
                  boxes_b: jnp.ndarray, valid_b: jnp.ndarray,
-                 iou_threshold: float = 0.5) -> jnp.ndarray:
+                 iou_threshold: float = TRACK_GATE_IOU) -> jnp.ndarray:
     """Greedy one-to-one matching by descending IoU.
 
     Args:
@@ -96,7 +97,7 @@ def init_track_state(max_tracks: int = 64) -> TrackState:
 
 def assign_tracks(state: TrackState, boxes: jnp.ndarray,
                   labels: jnp.ndarray, valid: jnp.ndarray,
-                  iou_threshold: float = 0.5, max_age: int = 3,
+                  iou_threshold: float = TRACK_GATE_IOU, max_age: int = 3,
                   vel_smooth: float = 0.6
                   ) -> Tuple[TrackState, jnp.ndarray]:
     """One frame of class-aware, motion-aware greedy track assignment,
@@ -234,8 +235,8 @@ class TrackManager:
     velocity, and retires tracks unseen for `max_age` frames.
     """
 
-    def __init__(self, iou_threshold: float = 0.5, max_age: int = 3,
-                 vel_smooth: float = 0.6):
+    def __init__(self, iou_threshold: float = TRACK_GATE_IOU,
+                 max_age: int = 3, vel_smooth: float = 0.6):
         self.iou_threshold = iou_threshold
         self.max_age = max_age
         self.vel_smooth = vel_smooth

@@ -154,6 +154,16 @@ def single_object_tracking(cfg, *, synthetic: bool = False,
                     cfg.train.val_annot_folder)
 
     out_dim = cfg.tracker.heatmap_size ** 2 if heatmap else 4
+    if cfg.tracker.residual and not heatmap \
+            and cfg.tracker.loss == 'bce':
+        # The residual head emits det + tanh(delta) in [-1, 2];
+        # binary_crossentropy clips its input to (0, 1), zeroing
+        # gradients whenever the prediction leaves that range — the
+        # combination silently fails to train (ADVICE r3).
+        raise ValueError(
+            "tracker.residual=True requires tracker.loss='huber' "
+            "(bce clips the residual head's [-1, 2] output range and "
+            'kills its gradients)')
     model = TinyTracker(lstm_units=cfg.tracker.lstm_units,
                         out_dim=out_dim, pool=cfg.tracker.pool,
                         residual_det=cfg.tracker.residual and not heatmap)

@@ -75,8 +75,12 @@ def make_fake_weights_file(num_classes=3, num_anchors=5, with_head=True,
     rng = np.random.RandomState(7)
     for (name, cout, k), cin in zip(DARKNET19_CONV_PLAN,
                                     DARKNET19_IN_CHANNELS):
-        for _ in range(4):  # beta, gamma, mean, var
-            chunks.append(rng.randn(cout).astype(np.float32))
+        for stat in range(4):  # beta, gamma, mean, var
+            vals = rng.randn(cout).astype(np.float32)
+            if stat == 3:
+                # var must be positive or the BN sqrt NaNs the forward
+                vals = np.abs(vals) + 0.5
+            chunks.append(vals)
         chunks.append(rng.randn(cout * cin * k * k).astype(np.float32))
     if with_head:
         head = num_anchors * (5 + num_classes)
