@@ -99,10 +99,16 @@ def context_parallel_scan(cell_fn: Callable[..., tuple],
         perm = _ring_perm(n)
 
         if halo > 0:
-            # One round: burn in on the first `halo` local frames to warm
-            # the state, then scan for real. Exact for halo >= T_local of
-            # the predecessor chain's mixing time.
-            burn = jax.tree_util.tree_map(lambda l: l[:halo], xs_local)
+            # One round: each shard warm-starts from a state burned in on
+            # its predecessor's LAST `halo` frames — the frames that
+            # immediately precede the shard boundary, i.e. the standard
+            # sliding-window warm-up of streaming trackers. (Burning on
+            # the predecessor's FIRST frames — the pre-round-4 behavior —
+            # warms on temporally distant context and converges much
+            # slower in `halo`; tests/test_parallel.py pins the decay.)
+            # Approximation error decays with the cell's mixing time:
+            # see the accuracy-vs-halo table in benchmarks/RESULTS.md.
+            burn = jax.tree_util.tree_map(lambda l: l[-halo:], xs_local)
             warm, _ = jax.lax.scan(cell_fn, carry, burn)
             warm = jax.lax.ppermute(warm, axis_name, perm)
             start = jax.tree_util.tree_map(
