@@ -162,7 +162,8 @@ class DetectionBatches(_GeneratorBase):
                  augment: bool = True,
                  aug_config: Optional[AugmentConfig] = None,
                  seed: int = 0, loader=None, drop_last: bool = True,
-                 debug_dir: Optional[str] = None):
+                 debug_dir: Optional[str] = None,
+                 heads: Optional[tuple] = None):
         super().__init__(labels, net_h, net_w, anchors, batch_size,
                          max_boxes, grid_h, grid_w, augment, aug_config,
                          seed, loader, debug_dir)
@@ -170,6 +171,18 @@ class DetectionBatches(_GeneratorBase):
         self.drop_last = drop_last
         self._aug = (lambda k, im, bx: augment_frames_batch(
             k, im, bx, self.aug_config))
+        # Multi-scale ([yolo]-head) mode: `heads` is the static per-head
+        # tuple of ops/targets.encode_targets_multiscale; y_true /
+        # true_boxes become per-head tuples and `anchors`/grid args are
+        # ignored for encoding.
+        self.heads = heads
+        if heads is not None:
+            from object_tracking_tpu.ops.targets import (
+                encode_targets_multiscale)
+            self._encode_ms = jax.jit(jax.vmap(
+                lambda b, c, v: encode_targets_multiscale(
+                    b, c, v, heads, image_h=net_h, image_w=net_w,
+                    true_box_buffer=max_boxes)))
 
     def __len__(self):
         n = len(self.annotations) // self.batch_size
@@ -195,6 +208,14 @@ class DetectionBatches(_GeneratorBase):
             keys = jax.random.split(self._next_key(), len(anns))
             images, boxes = self._aug(keys, jnp.asarray(images),
                                       jnp.asarray(boxes))
+        if self.heads is not None:
+            y, b = self._encode_ms(jnp.asarray(boxes), jnp.asarray(cls),
+                                   jnp.asarray(valid))
+            images, boxes = np.asarray(images), np.asarray(boxes)
+            self._dump_debug(images, boxes, batch_idx)
+            return {'images': images,
+                    'y_true': tuple(np.asarray(a) for a in y),
+                    'true_boxes': tuple(np.asarray(a) for a in b)}
         y, b = self._encode(jnp.asarray(boxes), jnp.asarray(cls),
                             jnp.asarray(valid))
         images, boxes = np.asarray(images), np.asarray(boxes)

@@ -119,3 +119,81 @@ def encode_targets_batch(boxes_xyxy, class_ids, valid, anchors, **kw):
     fn = functools.partial(encode_targets, anchors=anchors, **kw)
     return jax.vmap(lambda b, c, v: fn(b, c, v))(boxes_xyxy, class_ids,
                                                  valid)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('heads', 'image_h', 'image_w', 'true_box_buffer'))
+def encode_targets_multiscale(boxes_xyxy: jnp.ndarray,
+                              class_ids: jnp.ndarray,
+                              valid: jnp.ndarray,
+                              heads: Tuple[Tuple, ...],
+                              *,
+                              image_h: int = 416, image_w: int = 416,
+                              true_box_buffer: int = 50):
+    """Multi-scale ([yolo]-head, v3-family) target encoding.
+
+    Each GT box is OWNED by exactly one head: the one holding the
+    globally best-IoU anchor for the box's (w, h) — the standard v3
+    assignment rule (anchors compared in pixels, since [yolo] cfg
+    anchors are pixel-sized, models/darknet_cfg.py head_specs). The
+    owned box is then written into that head's grid in that head's
+    cell units via `encode_targets` (whose local best-anchor argmax
+    agrees with the global winner restricted to the owning head). The
+    reference's cfg boundary is inference-only for [yolo] heads
+    (/root/reference/models_detection/YOLO.py:128-134), so this — like
+    the working standalone detector training itself — exceeds parity.
+
+    Args:
+      heads: static tuple per head:
+        (anchors_px flat tuple, grid_h, grid_w, num_classes).
+      Remaining args as `encode_targets`, boxes in pixels.
+
+    Returns:
+      (y_heads, b_heads): tuples with one (GH_h, GW_h, A_h, 5+C) target
+      and one (1, 1, 1, TB, 4) cell-unit true-box buffer per head. Each
+      head's buffer holds ALL valid boxes (in its own cell units) — the
+      loss's no-object best-IoU suppression needs every object, not
+      just the owned ones.
+    """
+    # Global best anchor across heads (pixel units).
+    all_px = jnp.concatenate([
+        jnp.asarray(h[0], jnp.float32).reshape(-1, 2) for h in heads])
+    sizes_px = jnp.stack([boxes_xyxy[:, 2] - boxes_xyxy[:, 0],
+                          boxes_xyxy[:, 3] - boxes_xyxy[:, 1]],
+                         axis=-1).astype(jnp.float32)          # (M, 2)
+    shifted = jnp.concatenate([jnp.zeros_like(sizes_px), sizes_px],
+                              axis=-1)
+    anchor_boxes = jnp.concatenate(
+        [jnp.zeros_like(all_px), all_px], axis=-1)
+    ious = iou_center(shifted[:, None, :], anchor_boxes[None, :, :])
+    best = jnp.argmax(ious, axis=-1)                           # (M,)
+
+    counts = [len(h[0]) // 2 for h in heads]
+    offsets = []
+    off = 0
+    for c in counts:
+        offsets.append(off)
+        off += c
+
+    y_heads, b_heads = [], []
+    for (anchors_px, gh, gw, classes), off, cnt in zip(heads, offsets,
+                                                       counts):
+        own = valid & (best >= off) & (best < off + cnt)
+        # pixel anchors → this head's grid-cell units
+        a_px = jnp.asarray(anchors_px, jnp.float32).reshape(-1, 2)
+        a_cells = a_px * jnp.asarray(
+            [gw / image_w, gh / image_h], jnp.float32)
+        y, _ = encode_targets(
+            boxes_xyxy, class_ids, own, a_cells,
+            image_h=image_h, image_w=image_w, grid_h=gh, grid_w=gw,
+            num_classes=classes, true_box_buffer=true_box_buffer)
+        # Buffer of ALL valid boxes in this head's cell units.
+        _, b = encode_targets(
+            boxes_xyxy, class_ids,
+            valid & (class_ids >= 0) & (class_ids < classes), a_cells,
+            image_h=image_h, image_w=image_w, grid_h=gh, grid_w=gw,
+            num_classes=classes, true_box_buffer=true_box_buffer)
+        y_heads.append(y)
+        b_heads.append(b)
+    return tuple(y_heads), tuple(b_heads)

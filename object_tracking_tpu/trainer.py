@@ -387,33 +387,61 @@ def keras_yolo_obj_detection(cfg, *, images=(), out_dir: str = '.',
         labels = cfg.detector.labels
         size = cfg.detector.image_h
         anchors = cfg.detector.anchors
+        if cfg.detector.cfg_path:
+            size = detector.net_size[0]
         if synthetic:
             labels = ('1', '2')
             cfg = _synthetic_dirs(cfg, (size, size), labels)
-            detector = YOLOv2Detector(cfg.detector.__class__(
-                labels=labels, image_h=size, image_w=size,
-                grid_h=size // 32, grid_w=size // 32))
+            if cfg.detector.cfg_path:
+                from object_tracking_tpu.models.darknet_cfg import (
+                    CfgDetector)
+                detector = CfgDetector(
+                    cfg.detector.cfg_path, labels=labels,
+                    obj_threshold=cfg.detector.obj_threshold,
+                    nms_threshold=cfg.detector.nms_threshold)
+            else:
+                detector = YOLOv2Detector(cfg.detector.__class__(
+                    labels=labels, image_h=size, image_w=size,
+                    grid_h=size // 32, grid_w=size // 32))
         apply_fn = detector.module.apply
-        if cfg.detector.cfg_path and not synthetic:
-            # cfg-compiled detector: its [region] head supplies the grid
-            # anchors; adapt {'heads': [...]} to the step's {'netout': ...}.
-            spec = detector.specs[0]
-            if spec['kind'] != 'region':
-                raise NotImplementedError(
-                    'standalone training supports [region]-head cfgs; '
-                    'multi-head [yolo] training is not wired')
-            anchors = spec['anchors']
+        heads_static = None
+        if cfg.detector.cfg_path:
             labels = detector.labels
             size = detector.net_size[0]
             module = detector.module
+            specs = detector.specs
+            if len(specs) == 1 and specs[0]['kind'] == 'region':
+                # cfg-compiled [region] detector: its head supplies the
+                # grid anchors; adapt {'heads': [...]} to {'netout': ...}.
+                anchors = specs[0]['anchors']
 
-            def apply_fn(variables, images, train=False, mutable=False):
-                out = module.apply(variables, images, train=train,
-                                   mutable=mutable)
-                if mutable:
-                    out, updates = out
-                    return {'netout': out['heads'][0]}, updates
-                return {'netout': out['heads'][0]}
+                def apply_fn(variables, images, train=False,
+                             mutable=False):
+                    out = module.apply(variables, images, train=train,
+                                       mutable=mutable)
+                    if mutable:
+                        out, updates = out
+                        return {'netout': out['heads'][0]}, updates
+                    return {'netout': out['heads'][0]}
+            else:
+                # Multi-head [yolo] (v3-family) training: per-head grids
+                # from one shape eval, multi-scale targets, summed
+                # per-head yolo_loss (training/steps.py). The
+                # reference's cfg boundary is inference-only here
+                # (YOLO.py:128-134) — exceeding parity.
+                import jax.numpy as jnp
+                out_shapes = jax.eval_shape(
+                    lambda x: module.apply(detector.variables, x,
+                                           train=False),
+                    jax.ShapeDtypeStruct((1, size, size, 3),
+                                         jnp.float32))
+                heads_static = tuple(
+                    (tuple(float(v) for v in
+                           np.asarray(s['anchors'],
+                                      np.float32).reshape(-1)),
+                     int(hs.shape[1]), int(hs.shape[2]),
+                     s['num_classes'])
+                    for s, hs in zip(specs, out_shapes['heads']))
         logs, models_dir, mesh, shard_fn = _common_setup(cfg, workdir)
         anns, _ = parse_annotation_dir(
             cfg.train.train_annot_folder, cfg.train.train_image_folder,
@@ -421,18 +449,25 @@ def keras_yolo_obj_detection(cfg, *, images=(), out_dir: str = '.',
         gen = DetectionBatches(
             anns, labels, net_h=size, net_w=size,
             grid_h=size // 32, grid_w=size // 32,
-            anchors=anchors,
+            anchors=anchors if heads_static is None else (1.0, 1.0),
             batch_size=min(cfg.detector.batch_size, max(len(anns), 1)),
             max_boxes=cfg.train.max_boxes_per_image,
             augment=cfg.train.augment, seed=cfg.train.seed,
-            drop_last=False)
+            drop_last=False, heads=heads_static)
         state = TrainState.create(
             apply_fn, detector.variables,
             make_optimizer(cfg.train.joint_learning_rate,
                        grad_clip_norm=cfg.train.grad_clip_norm))
         logger, ckpts, early, reduce_lr = _make_callback_stack(
             cfg, logs, os.path.join(models_dir, 'yolov2'), joint=False)
-        state = fit(state, make_detector_train_step(anchors, cfg.loss),
+        if heads_static is not None:
+            from object_tracking_tpu.training import (
+                make_multihead_detector_train_step)
+            train_step = make_multihead_detector_train_step(
+                heads_static, (size, size), cfg.loss)
+        else:
+            train_step = make_detector_train_step(anchors, cfg.loss)
+        state = fit(state, train_step,
                     gen, epochs=epochs or cfg.train.max_epochs,
                     shard_fn=shard_fn, logger=logger, checkpoints=ckpts,
                     early_stopping=early, reduce_lr=reduce_lr)

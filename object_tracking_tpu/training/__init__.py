@@ -14,7 +14,7 @@ from object_tracking_tpu.training.state import TrainState, make_optimizer  # noq
 from object_tracking_tpu.training.steps import (  # noqa: F401
     make_joint_train_step, make_joint_eval_step,
     make_tiny_train_step, make_tiny_eval_step,
-    make_detector_train_step,
+    make_detector_train_step, make_multihead_detector_train_step,
 )
 from object_tracking_tpu.training.callbacks import (  # noqa: F401
     EarlyStopping, ReduceLROnPlateau,

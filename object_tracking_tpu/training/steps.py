@@ -172,6 +172,77 @@ def make_detector_train_step(anchors,
     return step
 
 
+def make_multihead_detector_train_step(head_specs, net_size,
+                                       loss_cfg: Optional[LossConfig]
+                                       = None) -> Callable:
+    """Standalone training for multi-head ([yolo], v3-family) cfgs.
+
+    The reference's cfg boundary is inference-only for [yolo] heads and
+    its Keras training is broken anyway (KerasYOLO.py:449), so this
+    exceeds parity: one summed `yolo_loss` per head, each head judged
+    at its own grid with its own (pixel → grid-cell converted) anchors,
+    against the multi-scale targets of
+    ops/targets.encode_targets_multiscale.
+
+    Args:
+      head_specs: static per-head tuples
+        (anchors_px flat tuple, grid_h, grid_w, num_classes).
+      net_size: (net_h, net_w) input pixels.
+      Batch: {'images' (B,H,W,3), 'y_true': tuple per head,
+              'true_boxes': tuple per head}.
+    """
+    loss_cfg = loss_cfg or LossConfig()
+    net_h, net_w = net_size
+    # Host-side numpy on purpose (axon constant-embedding; see above).
+    anchors_cells = [
+        np.asarray(a, np.float32).reshape(-1, 2)
+        * np.asarray([gw / net_w, gh / net_h], np.float32)
+        for a, gh, gw, _c in head_specs]
+
+    def one_head_loss(netout, y_true, true_boxes, anchors, step):
+        return yolo_loss(
+            netout, y_true, true_boxes, anchors, step,
+            warm_up_batches=loss_cfg.warm_up_batches,
+            object_scale=loss_cfg.object_scale,
+            no_object_scale=loss_cfg.no_object_scale,
+            coord_scale=loss_cfg.coord_scale,
+            class_scale=loss_cfg.class_scale,
+            best_iou_threshold=loss_cfg.best_iou_threshold)
+
+    def loss_fn(params, state, batch):
+        out, updates = state.apply_fn(
+            {'params': params, 'batch_stats': state.batch_stats},
+            batch['images'], train=True, mutable=['batch_stats'])
+        total = jnp.float32(0.0)
+        aux_sum: Dict[str, Any] = {}
+        for i, anchors in enumerate(anchors_cells):
+            loss, aux = one_head_loss(
+                out['heads'][i], batch['y_true'][i],
+                batch['true_boxes'][i], anchors, state.step)
+            total = total + loss
+            for k in ('loss', 'loss_xy', 'loss_wh', 'loss_conf',
+                      'loss_class'):
+                aux_sum[k] = aux_sum.get(k, 0.0) + aux[k]
+            aux_sum[f'recall_h{i}'] = aux['recall']
+        # Mean recall across heads keeps the logger schema one scalar.
+        aux_sum['recall'] = sum(
+            aux_sum[f'recall_h{i}'] for i in range(len(anchors_cells))
+        ) / len(anchors_cells)
+        return total, (aux_sum, updates)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (aux, updates)), grads = grad_fn(state.params, state, batch)
+        new_state = state.apply_gradients(
+            grads, new_batch_stats=updates.get('batch_stats'))
+        return new_state, {k: aux[k] for k in
+                           ('loss', 'recall', 'loss_xy', 'loss_wh',
+                            'loss_conf', 'loss_class')}
+
+    return step
+
+
 def _tiny_loss(variables, apply_fn, batch, heatmap: bool,
                loss_name: str = 'bce'):
     pred = apply_fn(variables, batch['feats'], batch['det'])

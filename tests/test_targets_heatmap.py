@@ -133,3 +133,39 @@ def test_heatmap_empty_sentinel():
     empty = jnp.zeros((32 * 32,), jnp.float32)
     x1, y1, x2, y2 = heatmap_decode_rect(empty, 0.75, 32)
     assert (int(x1), int(y1), int(x2), int(y2)) == (32, 32, -1, -1)
+
+
+def test_encode_targets_multiscale_ownership():
+    """v3 multi-scale encoding: each GT box lands in exactly the head
+    owning its globally best-IoU (pixel) anchor; every head's true-box
+    buffer carries ALL boxes in that head's cell units."""
+    from object_tracking_tpu.ops.targets import encode_targets_multiscale
+
+    heads = (
+        ((10.0, 13.0, 16.0, 30.0, 33.0, 23.0), 4, 4, 2),   # small anchors
+        ((80.0, 80.0, 120.0, 100.0), 2, 2, 2),             # big anchors
+    )
+    img = 128
+    boxes = jnp.asarray([[10.0, 10.0, 26.0, 40.0],    # 16x30 → head 0, a1
+                         [4.0, 14.0, 122.0, 116.0]],  # 118x102 → head 1, a1
+                        jnp.float32)
+    cls = jnp.asarray([0, 1], jnp.int32)
+    valid = jnp.asarray([True, True])
+    ys, bs = encode_targets_multiscale(boxes, cls, valid, heads,
+                                       image_h=img, image_w=img,
+                                       true_box_buffer=4)
+    y0, y1 = np.asarray(ys[0]), np.asarray(ys[1])
+    # Small box: center (18, 25) px → head-0 cell (gx=0, gy=0 at 32 px
+    # cells), anchor 1 (16x30); absent from head 1.
+    assert y0[0, 0, 1, 4] == 1.0
+    assert y0.sum(axis=(0, 1, 2))[4] == 1.0            # exactly one hit
+    # Big box: center (63, 65) px → head-1 cell (0, 1 at 64 px cells),
+    # anchor 1 (120x100); absent from head 0.
+    assert y1[1, 0, 1, 4] == 1.0
+    assert y1.sum(axis=(0, 1, 2))[4] == 1.0
+    # Both buffers hold BOTH boxes (cell units differ per head).
+    b0 = np.asarray(bs[0]).reshape(-1, 4)
+    b1 = np.asarray(bs[1]).reshape(-1, 4)
+    assert (b0[:2, 2] > 0).all() and (b1[:2, 2] > 0).all()
+    np.testing.assert_allclose(b0[0, 2] * 128 / 4, 16.0)   # w in px
+    np.testing.assert_allclose(b1[1, 3] * 128 / 2, 102.0)  # h in px
