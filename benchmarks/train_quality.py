@@ -39,7 +39,8 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
         frames: int = 16, seed: int = 0, workdir: str | None = None,
         batch_size: int = 4, lr: float = 2e-4,
         grad_clip: float = 1.0, warm_up_epochs: int = 2,
-        record: bool = False, eval_only: bool = False,
+        record: bool = False, record_name: str = 'QUALITY.json',
+        eval_only: bool = False,
         resume: bool = False, objects: int = 3, crossing: bool = True,
         occlusion: int = 2, clutter: int = 3,
         bar_map: float = 0.65, bar_mota: float = 0.55) -> dict:
@@ -123,7 +124,7 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
         # benchmarks/QUALITY.json feeds report.py's quality table — only
         # the CLI (full-scale) run writes it, never test miniatures.
         qpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             'QUALITY.json')
+                             record_name)
         with open(qpath, 'w') as f:
             json.dump(out, f, indent=1)
     return out
@@ -150,6 +151,10 @@ if __name__ == '__main__':
                    help='unannotated distractor shapes per video')
     p.add_argument('--bar-map', type=float, default=0.65)
     p.add_argument('--bar-mota', type=float, default=0.55)
+    p.add_argument('--record-name', default='QUALITY.json',
+                   help='file under benchmarks/ that --record writes '
+                        '(e.g. QUALITY_416.json for the full-resolution '
+                        'row, keeping the 160-squared row intact)')
     p.add_argument('--workdir')
     p.add_argument('--eval-only', action='store_true',
                    help='skip training; evaluate the checkpoint an '
@@ -162,6 +167,7 @@ if __name__ == '__main__':
     run(epochs=a.epochs, size=a.size, videos=a.videos, frames=a.frames,
         batch_size=a.batch_size, lr=a.lr, grad_clip=a.clip,
         warm_up_epochs=a.warm_up_epochs, workdir=a.workdir, record=True,
+        record_name=a.record_name,
         eval_only=a.eval_only, resume=a.resume, objects=a.objects,
         crossing=not a.no_crossing, occlusion=a.occlusion,
         clutter=a.clutter, bar_map=a.bar_map, bar_mota=a.bar_mota)

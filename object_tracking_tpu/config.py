@@ -158,6 +158,12 @@ class TrackerConfig:
     # the reference's from-scratch sigmoid head — see
     # models/tiny_tracker.py::TinyTracker.residual_det.
     residual: bool = False
+    # Per-frame probability of zeroing the detection input during
+    # training/eval — simulates the frozen detector missing a frame
+    # (the pipeline emits a zero box then anyway,
+    # preprocessing.py:434-449); the regime where the tracker's
+    # temporal fill-in must beat plain detector echo.
+    det_dropout: float = 0.0
 
 
 @dataclass

@@ -318,9 +318,16 @@ class TrackerSequenceBatches(_GeneratorBase):
                  augment: bool = True,
                  aug_config: Optional[AugmentConfig] = None,
                  seed: int = 0, loader=None, drop_last: bool = True,
-                 feature_layer: str = 'conv_feat'):
+                 feature_layer: str = 'conv_feat',
+                 det_dropout: float = 0.0):
         super().__init__(labels, net_h, net_w, anchors, batch_size, 1,
                          1, 1, augment, aug_config, seed, loader)
+        # det_dropout: per-frame probability of zeroing the detection
+        # input — exactly what the pipeline emits when the frozen
+        # detector misses (reference preprocessing.py:434-449 writes a
+        # zero box then too). Trains/evaluates the tracker's temporal
+        # fill-in, the regime where it must beat detector echo.
+        self.det_dropout = float(det_dropout)
         self.windows = [list(w) for w in windows]
         self.detector = detector
         self.target_mode = target_mode
@@ -477,6 +484,11 @@ class TrackerSequenceBatches(_GeneratorBase):
             feats = np.stack(feats_b)             # (B, T, fh, fw, fc)
             det = np.stack(det_b)                 # (B, T, 4) center fmt
             gt = np.stack(gt_b)                   # (B, T, 4) corner fmt
+
+        if self.det_dropout > 0.0:
+            keep = (self._rng.rand(*det.shape[:2])
+                    >= self.det_dropout).astype(np.float32)
+            det = det * keep[..., None]
 
         # GT → center-format normalized target (preprocessing.py:429-432)
         cx = 0.5 * (gt[..., 0] + gt[..., 2])

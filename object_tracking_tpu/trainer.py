@@ -146,7 +146,8 @@ def single_object_tracking(cfg, *, synthetic: bool = False,
             target_mode='heatmap' if heatmap else 'bbox',
             heatmap_size=cfg.tracker.heatmap_size,
             tracked_classes=labels, augment=cfg.train.augment,
-            seed=cfg.train.seed, feature_layer=feature_layer)
+            seed=cfg.train.seed, feature_layer=feature_layer,
+            det_dropout=cfg.tracker.det_dropout)
 
     train_gen = build(cfg.train.train_image_folder,
                       cfg.train.train_annot_folder)

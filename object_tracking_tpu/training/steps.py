@@ -77,6 +77,13 @@ def _joint_loss(variables, apply_fn, batch, anchors,
                'track_recall': t_aux['recall'],
                'detect_recall': d_aux['recall'],
                'moe_aux': moe_aux}
+    # Per-component breakdown, weighted like the total loss — the
+    # reference printed exactly these each step (tf.Print,
+    # KerasYOLO.py:226-233 with DETECTOR:/TRACKER: prefixes); here they
+    # are returned aux so the logger/JSONL carries them per epoch.
+    wt, wd = joint_cfg.loss_weight_track, joint_cfg.loss_weight_detect
+    for comp in ('loss_xy', 'loss_wh', 'loss_conf', 'loss_class'):
+        metrics[comp] = wt * t_aux[comp] + wd * d_aux[comp]
     return loss, (metrics, updates)
 
 
