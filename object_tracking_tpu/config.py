@@ -121,6 +121,12 @@ class DetectorConfig:
     # model consumes (KerasYOLO.py:396).
     feature_layer: str = 'conv_feat'
     batch_size: int = 32          # KerasYOLO.py:52
+    # Backbone channel-width divisor for the hand-built Darknet-19 (and
+    # the joint model built on it): 1 = reference widths; >1 = same
+    # topology/taps at 1/width_div channels (min 4) — fixture/CI scale
+    # and a deployment knob for narrow feature extraction. See
+    # models/darknet19.py::Darknet19.width_div.
+    width_div: int = 1
 
     @property
     def num_classes(self) -> int:

@@ -73,7 +73,8 @@ class YOLOv2Detector:
         self.config = config or DetectorConfig()
         cfg = self.config
         self.module = Darknet19(num_classes=cfg.num_classes,
-                                num_anchors=cfg.num_anchors, dtype=dtype)
+                                num_anchors=cfg.num_anchors, dtype=dtype,
+                                width_div=cfg.width_div)
         dummy = jnp.zeros((1, cfg.image_h, cfg.image_w, 3), jnp.float32)
         self.variables = self.module.init(jax.random.PRNGKey(seed), dummy)
         if cfg.weights_path:
@@ -161,7 +162,7 @@ class YOLOv2Detector:
         cfg = self.config
         gh, gw = cfg.image_h // 32, cfg.image_w // 32
         if layer == 'conv_feat':
-            return gh, gw, 1024
+            return gh, gw, max(1024 // cfg.width_div, 4)
         if layer == 'netout':
             return gh, gw, cfg.num_anchors * (5 + cfg.num_classes)
         raise KeyError(layer)

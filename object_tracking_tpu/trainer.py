@@ -265,6 +265,7 @@ def simult_multi_obj_detection_tracking(cfg, *, synthetic: bool = False,
     model = MultiObjDetTracker(
         num_classes=len(labels), num_anchors=cfg.detector.num_anchors,
         convlstm_features=cfg.joint.convlstm_features,
+        width_div=cfg.detector.width_div,
         dtype=jnp.dtype(cfg.joint.compute_dtype), remat=cfg.joint.remat,
         moe_experts=cfg.joint.moe_experts,
         moe_hidden=cfg.joint.moe_hidden,
@@ -508,6 +509,7 @@ def evaluate_tracking(cfg, *, synthetic: bool = False,
     model = MultiObjDetTracker(
         num_classes=len(labels), num_anchors=cfg.detector.num_anchors,
         convlstm_features=cfg.joint.convlstm_features,
+        width_div=cfg.detector.width_div,
         dtype=jnp.dtype(cfg.joint.compute_dtype),
         moe_experts=cfg.joint.moe_experts,
         moe_hidden=cfg.joint.moe_hidden,
@@ -613,6 +615,7 @@ def track_video(cfg, *, frames_dir: str, out_dir: str,
     model = MultiObjDetTracker(
         num_classes=len(labels), num_anchors=cfg.detector.num_anchors,
         convlstm_features=cfg.joint.convlstm_features,
+        width_div=cfg.detector.width_div,
         dtype=jnp.dtype(cfg.joint.compute_dtype),
         moe_experts=cfg.joint.moe_experts,
         moe_hidden=cfg.joint.moe_hidden,

@@ -125,9 +125,9 @@ def test_joint_model_time_sharded_train_step():
     anchors = [1.0, 1.0, 2.0, 2.0]
 
     dense = MultiObjDetTracker(num_classes=nc, num_anchors=na,
-                               convlstm_features=8)
+                               convlstm_features=8, width_div=8)
     sharded = MultiObjDetTracker(num_classes=nc, num_anchors=na,
-                                 convlstm_features=8,
+                                 convlstm_features=8, width_div=8,
                                  time_shards=n, mesh=mesh)
     x = jax.random.uniform(jax.random.PRNGKey(0), (1, t, size, size, 3))
     variables = dense.init(jax.random.PRNGKey(1), x)
@@ -219,6 +219,7 @@ def test_joint_model_deep_head_pipeline_matches_sequential():
 
     mesh = make_mesh(MeshConfig(model_parallel=4))
     kw = dict(num_classes=2, num_anchors=2, convlstm_features=8,
+              width_div=8,
               convlstm_layers=5)
     seq = MultiObjDetTracker(**kw)
     pipe = MultiObjDetTracker(**kw, pp_layers=True, mesh=mesh)

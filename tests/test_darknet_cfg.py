@@ -303,6 +303,9 @@ def test_yolo3_decode_matches_hand_computed():
     assert float(scores[0, 0]) > 0.9
 
 
+@pytest.mark.slow   # full-size stream + full-width forward; the
+#                       stock-scale rehearsal (test_weights_fullsize)
+#                       pins the same cross-loader bit-exactness at 416
 def test_cfg_model_matches_darknet19_bitexact():
     """The compiled yolov2 cfg must reproduce the hand-built Darknet19
     module exactly when both ingest the same .weights stream."""

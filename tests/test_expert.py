@@ -133,7 +133,8 @@ def test_moe_head_in_joint_model_trains(rng):
 
     b, t, hw, nc, na = 1, 2, 32, 3, 5
     model = MultiObjDetTracker(num_classes=nc, num_anchors=na,
-                               convlstm_features=8, moe_experts=4,
+                               convlstm_features=8, width_div=8,
+                               moe_experts=4,
                                moe_hidden=16)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((b, t, hw, hw, 3)))

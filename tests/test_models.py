@@ -181,7 +181,8 @@ def test_tiny_tracker_heatmap_head():
 
 
 def test_joint_model_shapes_and_grad():
-    m = MultiObjDetTracker(num_classes=3, convlstm_features=8)
+    m = MultiObjDetTracker(num_classes=3, convlstm_features=8,
+                           width_div=8)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 64, 64, 3)) * 0.1
     v = m.init(jax.random.PRNGKey(0), x)
     out = m.apply(v, x, train=False)
@@ -198,6 +199,9 @@ def test_joint_model_shapes_and_grad():
     assert np.isfinite(total) and total > 0
 
 
+@pytest.mark.slow   # full 23-block stock-size stream (~200 MB); the
+#                       stock-scale rehearsal (test_weights_fullsize,
+#                       slow tier) covers the byte-exact round-trip too
 def test_weight_exporter_inverse_of_loader():
     """export_yolov2_weights ∘ load_yolov2_weights reproduces the file
     byte-for-byte (modern 5-slot header) — the darknet binary is a

@@ -9,7 +9,8 @@ from object_tracking_tpu.models import MultiObjDetTracker
 
 def _setup(rng, t=4, remat=False):
     model = MultiObjDetTracker(num_classes=3, num_anchors=2,
-                               convlstm_features=8, remat=remat)
+                               convlstm_features=8, remat=remat,
+                               width_div=8)
     x = jnp.asarray(rng.rand(1, t, 64, 64, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x)
     return model, variables, x
@@ -52,7 +53,8 @@ def test_remat_forward_matches_no_remat(rng):
 def test_remat_gradients_match(rng):
     model, variables, x = _setup(rng, t=2)
     model_r = MultiObjDetTracker(num_classes=3, num_anchors=2,
-                                 convlstm_features=8, remat=True)
+                                 convlstm_features=8, remat=True,
+                                 width_div=8)
 
     def loss(m, params):
         out, _ = m.apply(

@@ -34,6 +34,9 @@ def tiny_cfg():
     cfg.detector.image_h = cfg.detector.image_w = 64
     cfg.detector.grid_h = cfg.detector.grid_w = 2
     cfg.detector.batch_size = 4
+    # width-divided backbone: same topology/taps at 1/64 the params —
+    # flow tests check mechanism, not capacity (1-core CI host)
+    cfg.detector.width_div = 8
     cfg.joint.convlstm_features = 8
     cfg.joint.sequence_length = 3
     cfg.tracker.sequence_length = 3

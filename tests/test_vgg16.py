@@ -58,8 +58,11 @@ def test_npz_weight_roundtrip(tmp_path, rng):
 # detections AND features from ONE model, FasterRCNN.py:62-81).
 # ---------------------------------------------------------------------------
 def _headed_source(bias):
+    # width-divided (same topology as the committed golden fixture):
+    # these tests check head mechanism, not capacity (1-core CI host)
     src = VGG16PriorSource(image_h=64, image_w=64, det_labels=('a', 'b'),
-                           conf_threshold=0.8, nms_threshold=0.3)
+                           conf_threshold=0.8, nms_threshold=0.3,
+                           width_div=8, fc_features=128)
     import flax
     params = flax.core.unfreeze(src.variables['params'])
     params['det_head']['kernel'] = np.zeros_like(
@@ -79,7 +82,7 @@ def test_det_head_produces_per_class_detections(rng):
     assert valid.any()
     assert (labels[valid] == 1).all()          # class 'b'
     assert (scores[valid] > 0.9).all()
-    assert feats.shape == (1, 1, 1, 4096)
+    assert feats.shape == (1, 1, 1, 128)
 
 
 def test_det_head_below_conf_threshold_is_empty(rng):
@@ -97,7 +100,7 @@ def test_det_head_extract_spatio_info(tmp_path, rng):
     cv2.imwrite(path, rng.randint(0, 255, (64, 64, 3)).astype(np.uint8))
     named, feats = src.extract_spatio_info(path, layer='fc7')
     assert named and named[0][0] == 'a'
-    assert feats.shape == (1, 1, 4096)
+    assert feats.shape == (1, 1, 128)
     # class_filter drops non-matching classes (YOLO.py:172-180 semantics)
     named_f, _ = src.extract_spatio_info(path, class_filter=('b',))
     assert named_f == []
@@ -108,7 +111,8 @@ def test_det_head_trains_one_step(rng):
     from object_tracking_tpu.training import (
         TrainState, make_detector_train_step, make_optimizer)
 
-    src = VGG16PriorSource(image_h=64, image_w=64, det_labels=('a', 'b'))
+    src = VGG16PriorSource(image_h=64, image_w=64, det_labels=('a', 'b'),
+                           width_div=8, fc_features=128)
     state = TrainState.create(src.det_apply, src.variables,
                               make_optimizer(1e-3))
     step = make_detector_train_step(VGG_DET_ANCHOR)
@@ -123,8 +127,9 @@ def test_det_head_trains_one_step(rng):
 
 
 def test_npz_ingests_det_head(tmp_path, rng):
-    src = VGG16PriorSource(image_h=32, image_w=32, det_labels=('a',))
-    kern = rng.randn(1, 1, 512, 6).astype(np.float32) * 0.01
+    src = VGG16PriorSource(image_h=32, image_w=32, det_labels=('a',),
+                           width_div=8, fc_features=128)
+    kern = rng.randn(1, 1, 64, 6).astype(np.float32) * 0.01
     path = tmp_path / 'w.npz'
     np.savez(path, **{'det_head/kernel': kern})
     src.load_npz_weights(str(path))
