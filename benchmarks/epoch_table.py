@@ -24,8 +24,11 @@ def epoch_table(path: str, steps_per_epoch: int):
     with open(path) as f:
         for line in f:
             rec = json.loads(line)
-            if 'val/loss' in rec or 'loss' not in rec:
-                continue        # val records / other schemas
+            # strip the fit loop's 'train/' prefix; skip val records
+            rec = {k.split('/', 1)[-1]: v for k, v in rec.items()
+                   if not k.startswith('val/')}
+            if 'loss' not in rec:
+                continue
             ep = (rec['step'] - 1) // steps_per_epoch
             epochs.setdefault(ep, []).append(rec)
     rows = []

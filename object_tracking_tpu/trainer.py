@@ -404,7 +404,8 @@ def keras_yolo_obj_detection(cfg, *, images=(), out_dir: str = '.',
             else:
                 detector = YOLOv2Detector(cfg.detector.__class__(
                     labels=labels, image_h=size, image_w=size,
-                    grid_h=size // 32, grid_w=size // 32))
+                    grid_h=size // 32, grid_w=size // 32,
+                    width_div=cfg.detector.width_div))
         apply_fn = detector.module.apply
         heads_static = None
         if cfg.detector.cfg_path:

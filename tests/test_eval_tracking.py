@@ -140,7 +140,7 @@ def test_joint_predictor_window(rng):
 
     t, size, c = 2, 64, 2
     model = MultiObjDetTracker(num_classes=c, num_anchors=2,
-                               convlstm_features=8)
+                               convlstm_features=8, width_div=8)
     frames = jnp.asarray(rng.rand(t, size, size, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), frames[None])
     pred = JointPredictor(

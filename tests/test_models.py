@@ -33,7 +33,10 @@ def test_space_to_depth_matches_tf_order():
 
 @pytest.fixture(scope='module')
 def small_darknet():
-    m = Darknet19(num_classes=3)
+    # width-divided: mechanism fixture (full-width channel layout is
+    # pinned by the weight-loader shape tests and the slow-tier
+    # stock-scale rehearsal)
+    m = Darknet19(num_classes=3, width_div=8)
     v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     return m, v
 
@@ -42,7 +45,7 @@ def test_darknet_shapes(small_darknet):
     m, v = small_darknet
     out = m.apply(v, jnp.zeros((2, 64, 64, 3)), train=False)
     assert out['netout'].shape == (2, 2, 2, 5, 8)
-    assert out['conv_feat'].shape == (2, 2, 2, 1024)
+    assert out['conv_feat'].shape == (2, 2, 2, 128)   # 1024 // 8
 
 
 def test_darknet_train_mode_mutates_batch_stats(small_darknet):
