@@ -391,7 +391,6 @@ def test_yolo_multihead_training_converges():
     from object_tracking_tpu.ops.targets import encode_targets_multiscale
     from object_tracking_tpu.training import (
         TrainState, make_multihead_detector_train_step, make_optimizer)
-    from object_tracking_tpu.training.state import make_optimizer as _mk
 
     model, _ = build_from_cfg(V3_CFG)
     size = 32
@@ -426,7 +425,8 @@ def test_yolo_multihead_training_converges():
              'true_boxes': tuple(np.asarray(a) for a in bs)}
 
     step = make_multihead_detector_train_step(heads, (size, size))
-    state = TrainState.create(model.apply, variables, _mk(1e-3))
+    state = TrainState.create(model.apply, variables,
+                              make_optimizer(1e-3))
     losses = []
     for _ in range(40):
         state, metrics = step(state, dict(batch))
