@@ -16,13 +16,13 @@ ConvLSTM-512) at the reference's production config: 416x416, T=4
 (MultiObjDetTracker.py:83,101).
 
 Reliability contract (the driver runs this under a hard timeout):
-- jax persistent compilation cache under .jax_cache/ (committed) — warm
-  runs skip the multi-minute axon-tunnel compiles entirely. Kept in git
-  DELIBERATELY (ADVICE r3 suggested gitignoring): a fresh checkout's
-  first bench run must still land inside the driver's watchdog window,
-  and a cold 416-squared compile over the tunnel alone can blow it. The
-  entries are dead weight after a jax upgrade — regenerate then
-  (`rm -rf .jax_cache && python bench.py`), don't accumulate.
+- jax persistent compilation cache under .jax_cache/ (on disk,
+  gitignored per ADVICE r3 — entries are keyed to the exact jax version
+  and device topology, so committed copies go stale silently). Warm
+  runs skip the multi-minute axon-tunnel compiles entirely; the driver
+  runs in this working directory, where the cache persists across
+  rounds. A genuinely cold run (fresh clone + cold tunnel) relies on
+  the watchdog's fallback emit instead, and the next run is warm.
 - the native number is measured fresh on every run, with the ONLY
   truthful fencing available over the axon tunnel: iterations chained
   through a device-resident salt and each timed sample terminated by an

@@ -48,6 +48,10 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
     from object_tracking_tpu.data.synthetic import make_synthetic_dataset
     from object_tracking_tpu.trainer import (
         evaluate_tracking, simult_multi_obj_detection_tracking)
+    from object_tracking_tpu.utils import enable_compile_cache
+    enable_compile_cache(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        '.jax_cache_train'))
 
     labels = ('1', '2')
     scene = dict(objects_per_video=objects, crossing=crossing,

@@ -729,6 +729,14 @@ def _load_cfg(args):
 
 
 def main(argv=None) -> int:
+    # Persistent compile cache for every CLI flow: repeat/resumed runs
+    # skip the multi-minute axon-tunnel compiles (library code never
+    # sets this — CLI entry only).
+    from object_tracking_tpu.utils import enable_compile_cache
+    enable_compile_cache(os.environ.get(
+        'OTT_COMPILE_CACHE',
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), '.jax_cache_train')))
     p = argparse.ArgumentParser(
         prog='object_tracking_tpu.trainer',
         description='TPU-native detection & tracking trainer')

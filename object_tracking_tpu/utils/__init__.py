@@ -1,5 +1,6 @@
 """Cross-cutting utilities: profiling/tracing, device memory stats."""
 
 from object_tracking_tpu.utils.profiling import (  # noqa: F401
-    annotate, device_memory_stats, profile_trace, StepTimer,
+    annotate, device_memory_stats, enable_compile_cache, profile_trace,
+    StepTimer,
 )

@@ -44,6 +44,19 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+def enable_compile_cache(cache_dir: str) -> None:
+    """Point jax's persistent compilation cache at `cache_dir`.
+
+    Over the axon tunnel a 416-squared train-step compile costs minutes
+    of wall clock; with the cache, every run after the first skips it.
+    Called by the trainer CLI and the benchmark harnesses — NOT on
+    library import (a library must not mutate global jax config as an
+    import side effect)."""
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+
+
 def device_memory_stats() -> List[Dict[str, float]]:
     """Per-device memory stats (bytes). Empty dicts where the backend
     doesn't expose them (e.g. CPU)."""
