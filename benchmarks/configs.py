@@ -75,9 +75,17 @@ def bench_tiny(iters: int, heatmap: bool):
 
     feats = extract(det_vars, frames)
     dt = _timeit(lambda: extract(det_vars, frames), iters)
+    # Device-resident twin: excludes the per-call uint8 host->device
+    # feed, which on this axon tunnel runs at ~45-50 MB/s and dominates
+    # (production PCIe/DMA feeds are 2-3 orders faster; BOTH rates are
+    # reported so neither bottleneck masquerades as the other).
+    frames_dev = jax.device_put(frames)
+    dt_dev = _timeit(lambda: extract(det_vars, frames_dev), iters)
     _report(bench=f'{name}_prior_extraction', fps=round(b * t / dt, 1),
+            device_resident_fps=round(b * t / dt_dev, 1),
             batch=b * t, note='jitted bf16 Darknet-19 conv_feat, uint8 in'
-            ' (replaces per-frame darknet FFI, preprocessing.py:418)')
+            ' (replaces per-frame darknet FFI, preprocessing.py:418); '
+            'fps = streaming host uint8 over the axon tunnel (h2d-bound)')
 
     # Phase 2 — tracker train + inference step on the priors.
     fh, fw, fc = feats.shape[1:]
@@ -143,8 +151,12 @@ def bench_detector(iters: int):
             n, jnp.asarray(YOLOV2_ANCHORS)))(netout)
 
     dt = _timeit(lambda: infer(variables, frames), iters)
+    frames_dev = jax.device_put(frames)
+    dt_dev = _timeit(lambda: infer(variables, frames_dev), iters)
     _report(bench='yolov2_detector_inference', fps=round(b / dt, 1),
-            batch=b, note='fwd + on-device decode+NMS, bf16, uint8 in')
+            device_resident_fps=round(b / dt_dev, 1),
+            batch=b, note='fwd + on-device decode+NMS, bf16, uint8 in; '
+            'fps = streaming host uint8 over the axon tunnel (h2d-bound)')
 
     # Train step (the reference's standalone detector training is broken,
     # SURVEY §4; this is the fixed equivalent).
@@ -167,7 +179,9 @@ def bench_detector(iters: int):
     pull_fence(m['loss'])
     dt_train = (time.perf_counter() - t0) / iters
     _report(bench='yolov2_detector_train_step',
-            images_per_sec=round(tb / dt_train, 1), batch=tb)
+            images_per_sec=round(tb / dt_train, 1), batch=tb,
+            note='fp32 params+activations, device-resident batch; the '
+            'bf16 twin is benchmarks/mfu.py (548.7 img/s measured)')
 
 
 def bench_joint(iters: int, num_classes: int, t: int, tag: str):
@@ -195,9 +209,13 @@ def bench_joint(iters: int, num_classes: int, t: int, tag: str):
             n, jnp.asarray(YOLOV2_ANCHORS)))(track)
 
     dt = _timeit(lambda: run(variables, clip), iters)
+    clip_dev = jax.device_put(clip)
+    dt_dev = _timeit(lambda: run(variables, clip_dev), iters)
     _report(bench=f'joint_detect_track_{tag}', fps=round(t / dt, 1),
+            device_resident_fps=round(t / dt_dev, 1),
             classes=num_classes, t=t,
-            note='fwd + ConvLSTM + on-device decode+NMS, bf16, uint8 in')
+            note='fwd + ConvLSTM + on-device decode+NMS, bf16, uint8 in; '
+            'fps = streaming host uint8 over the axon tunnel (h2d-bound)')
 
 
 def main():

@@ -43,7 +43,8 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
         eval_only: bool = False,
         resume: bool = False, objects: int = 3, crossing: bool = True,
         occlusion: int = 2, clutter: int = 3,
-        bar_map: float = 0.65, bar_mota: float = 0.55) -> dict:
+        bar_map: float = 0.65, bar_mota: float = 0.55,
+        transfer_from: str | None = None) -> dict:
     from object_tracking_tpu.config import Config
     from object_tracking_tpu.data.synthetic import make_synthetic_dataset
     from object_tracking_tpu.trainer import (
@@ -123,6 +124,14 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
            'bar': {'map': bar_map, 'mota': bar_mota},
            'passed': bool(overall['map'] >= bar_map
                           and overall['mota'] > bar_mota)}
+    if transfer_from:
+        # Provenance for resumed cross-resolution runs (e.g. the 416²
+        # row fine-tuned from the 160²-trained checkpoint): the conv
+        # stack's parameters are spatially size-independent, so the
+        # reference's own pretrain-then-finetune recipe applies across
+        # resolutions (MultiObjDetTracker.py:106 fine-tunes from
+        # pretrained darknet weights the same way).
+        out['transfer_from'] = transfer_from
     print(json.dumps(out))
     if record:
         # benchmarks/QUALITY.json feeds report.py's quality table — only
@@ -167,6 +176,10 @@ if __name__ == '__main__':
                    help='resume an interrupted run from the newest '
                    'checkpoint in --workdir; --epochs then counts '
                    'ADDITIONAL epochs for this invocation')
+    p.add_argument('--transfer-from',
+                   help='provenance note recorded in the JSON when this '
+                   'run fine-tunes a checkpoint trained at another '
+                   'resolution (use with --resume)')
     a = p.parse_args()
     run(epochs=a.epochs, size=a.size, videos=a.videos, frames=a.frames,
         batch_size=a.batch_size, lr=a.lr, grad_clip=a.clip,
@@ -174,4 +187,5 @@ if __name__ == '__main__':
         record_name=a.record_name,
         eval_only=a.eval_only, resume=a.resume, objects=a.objects,
         crossing=not a.no_crossing, occlusion=a.occlusion,
-        clutter=a.clutter, bar_map=a.bar_map, bar_mota=a.bar_mota)
+        clutter=a.clutter, bar_map=a.bar_map, bar_mota=a.bar_mota,
+        transfer_from=a.transfer_from)

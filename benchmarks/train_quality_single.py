@@ -114,6 +114,8 @@ def run(epochs: int = 30, size: int = 160, videos: int = 16,
     from object_tracking_tpu.data.synthetic import make_synthetic_dataset
     from object_tracking_tpu.models.darknet_cfg import CfgDetector
     from object_tracking_tpu.trainer import single_object_tracking
+    from object_tracking_tpu.utils import enable_compile_cache
+    enable_compile_cache(os.path.join(ROOT, '.jax_cache_train'))
 
     labels = ('1', '2')
     wd = workdir or tempfile.mkdtemp(prefix='ott_quality_single_')
