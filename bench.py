@@ -106,6 +106,13 @@ def _emit_once() -> bool:
         # recorded number. Machine-readable so consumers need not parse
         # the free-text note (ADVICE r3).
         'measured': _state['native_fps'] is not None,
+        # Single-chip MFU at the headline rate: 39.46 GF/frame forward
+        # (hand-derived conv-by-conv for this exact model —
+        # benchmarks/mfu.py::flops_per_frame) over the v5e bf16 peak of
+        # 197 TFLOP/s (the platform string "TPU v5 lite" = v5e; the
+        # pull-fenced rates are consistent with that peak, see
+        # RESULTS.md MFU table).
+        'mfu': round(float(native) * 39.46e9 / 197e12, 3),
     }
     if note:
         out['note'] = '; '.join(note)
