@@ -44,7 +44,8 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
         resume: bool = False, objects: int = 3, crossing: bool = True,
         occlusion: int = 2, clutter: int = 3,
         bar_map: float = 0.65, bar_mota: float = 0.55,
-        transfer_from: str | None = None) -> dict:
+        transfer_from: str | None = None,
+        resume_lr: float | None = None) -> dict:
     from object_tracking_tpu.config import Config
     from object_tracking_tpu.data.synthetic import make_synthetic_dataset
     from object_tracking_tpu.trainer import (
@@ -89,6 +90,7 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
     cfg.train.early_stop_patience = max(epochs, 20)  # run the clock out
     cfg.train.augment = True
     cfg.train.resume = resume   # pick up an interrupted run's checkpoint
+    cfg.train.resume_lr = resume_lr   # fresh rate for cross-res fine-tune
 
     # eval_only re-runs just the held-out evaluation against whatever
     # checkpoint an earlier (possibly interrupted) training run left in
@@ -180,6 +182,10 @@ if __name__ == '__main__':
                    help='provenance note recorded in the JSON when this '
                    'run fine-tunes a checkpoint trained at another '
                    'resolution (use with --resume)')
+    p.add_argument('--resume-lr', type=float,
+                   help='override the restored learning rate on resume '
+                   '(a plateau-reduced rate follows the checkpoint; '
+                   'cross-resolution fine-tuning wants a fresh one)')
     a = p.parse_args()
     run(epochs=a.epochs, size=a.size, videos=a.videos, frames=a.frames,
         batch_size=a.batch_size, lr=a.lr, grad_clip=a.clip,
@@ -188,4 +194,4 @@ if __name__ == '__main__':
         eval_only=a.eval_only, resume=a.resume, objects=a.objects,
         crossing=not a.no_crossing, occlusion=a.occlusion,
         clutter=a.clutter, bar_map=a.bar_map, bar_mota=a.bar_mota,
-        transfer_from=a.transfer_from)
+        transfer_from=a.transfer_from, resume_lr=a.resume_lr)

@@ -236,6 +236,12 @@ class TrainConfig:
     seed: int = 0
     max_boxes_per_image: int = 50
     resume: bool = False                 # MultiObjDetTracker.py:104 LOAD_MODEL
+    # Override the restored learning rate on resume. The optimizer's lr
+    # lives in opt_state (inject_hyperparams) and restores with it, so a
+    # plateau-reduced rate follows the checkpoint — right for continuing
+    # an interrupted run, wrong for cross-resolution fine-tuning, where
+    # the new data distribution needs a fresh rate.
+    resume_lr: Optional[float] = None
     checkpoint_dir: str = 'checkpoints/'
     augment: bool = True
     log_every_steps: int = 1

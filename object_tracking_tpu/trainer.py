@@ -188,6 +188,9 @@ def single_object_tracking(cfg, *, synthetic: bool = False,
         at = at or 0
         if at:
             print(f'resumed from checkpoint step {at}')
+        if at and cfg.train.resume_lr is not None:
+            state = state.with_learning_rate(cfg.train.resume_lr)
+            print(f'resume lr override → {cfg.train.resume_lr:.2e}')
     # Resumed runs continue the epoch/step sequence: orbax silently
     # skips saves with step <= latest existing step, so restarting the
     # counter at 1 would write NO checkpoints until it passed the prior
@@ -309,6 +312,9 @@ def simult_multi_obj_detection_tracking(cfg, *, synthetic: bool = False,
         at = at or 0
         if at:
             print(f'resumed from checkpoint step {at}')
+        if at and cfg.train.resume_lr is not None:
+            state = state.with_learning_rate(cfg.train.resume_lr)
+            print(f'resume lr override → {cfg.train.resume_lr:.2e}')
     import contextlib
     trace_ctx = contextlib.nullcontext()
     if profile_dir:
