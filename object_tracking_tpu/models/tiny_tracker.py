@@ -62,11 +62,30 @@ class TinyTracker(nn.Module):
         x = nn.RNN(cell, name='recurrent_layer')(x)
 
         if self.residual_det:
+            # Presence-gated fusion. One unconditional additive
+            # correction serves two masters — keep present-frame boxes
+            # tight AND invent boxes on detector-miss frames — and
+            # training trades the first for the second (measured: the
+            # ungated head scored mean IoU 0.43 vs the echo's 0.53 under
+            # a 25% missed-detection regime; its ±0.07/coord regression
+            # noise corrupted frames where the detection was already
+            # within ~0.03). Gate on detection presence instead:
+            #   present frames: det + tanh(zero-init delta) — exactly
+            #     the echo at init, trained ONLY by present-frame loss;
+            #   missed frames: a from-scratch sigmoid fill-in head,
+            #     trained ONLY by missed-frame loss (the LSTM state
+            #     carries the track through the gap).
+            present = (jnp.sum(jnp.abs(det), axis=-1, keepdims=True)
+                       > 0)
             delta = nn.Dense(self.out_dim, dtype=self.dtype,
                              kernel_init=nn.initializers.zeros,
                              bias_init=nn.initializers.zeros,
                              name='output')(x)
-            return (det.astype(jnp.float32)
+            corr = (det.astype(jnp.float32)
                     + jnp.tanh(delta).astype(jnp.float32))
+            fill = nn.sigmoid(nn.Dense(self.out_dim, dtype=self.dtype,
+                                       name='fill')(x))
+            return jnp.where(present, corr,
+                             fill.astype(jnp.float32))
         y = nn.Dense(self.out_dim, dtype=self.dtype, name='output')(x)
         return nn.sigmoid(y).astype(jnp.float32)

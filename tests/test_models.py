@@ -242,3 +242,30 @@ def test_tiny_tracker_residual_head_is_echo_at_init(rng):
     out = tt.apply(v, feats, det)
     np.testing.assert_allclose(np.asarray(out), np.asarray(det),
                                rtol=0, atol=1e-6)
+
+
+def test_tiny_tracker_residual_head_gates_on_detection_presence(rng):
+    """Frames whose detection input is all-zero (detector miss / dropped
+    frame) route to the from-scratch fill-in head instead of echoing the
+    zeros: the output there is a valid sigmoid box, not the zero vector,
+    while present frames keep the exact echo at init."""
+    import jax
+    import jax.numpy as jnp
+
+    from object_tracking_tpu.models import TinyTracker
+
+    tt = TinyTracker(lstm_units=8, out_dim=4, residual_det=True)
+    feats = jnp.asarray(rng.rand(1, 4, 4, 4, 8), jnp.float32)
+    det = np.asarray(rng.rand(1, 4, 4), np.float32)
+    det[0, 2] = 0.0                       # frame 2: detector miss
+    det = jnp.asarray(det)
+    v = tt.init(jax.random.PRNGKey(0), feats, det)
+    out = np.asarray(tt.apply(v, feats, det))
+    # present frames: exact echo (zero-init correction)
+    for t in (0, 1, 3):
+        np.testing.assert_allclose(out[0, t], np.asarray(det)[0, t],
+                                   rtol=0, atol=1e-6)
+    # missed frame: fill-in head output, strictly inside (0, 1) — NOT
+    # the zero echo
+    assert np.all(out[0, 2] > 0.0) and np.all(out[0, 2] < 1.0)
+    assert np.abs(out[0, 2]).sum() > 0.1
