@@ -16,8 +16,9 @@ and unannotated distractor clutter (the id-switch stressors of crowded
 MOT17 data, utility/motd_to_pascal.py:19-30). `--objects 1` reproduces
 the legacy single-object row.
 
-Bar (ratcheted to ~80% of round-3 achieved 0.845/0.734 on the
-multi-object scenes): val mAP >= 0.65 and MOTA > 0.55.
+Bar (round-4 ratchet, ~80% of the 160² from-scratch achieved
+0.845/0.734; the 416² fine-tuned row reached 0.9025/0.8056):
+val mAP >= 0.68 and MOTA > 0.58.
 
 Usage:  python benchmarks/train_quality.py [--epochs 40] [--size 160]
 Prints one JSON line: {"map": ..., "mota": ..., "motp": ..., ...}
@@ -43,7 +44,7 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
         eval_only: bool = False,
         resume: bool = False, objects: int = 3, crossing: bool = True,
         occlusion: int = 2, clutter: int = 3,
-        bar_map: float = 0.65, bar_mota: float = 0.55,
+        bar_map: float = 0.68, bar_mota: float = 0.58,
         transfer_from: str | None = None,
         resume_lr: float | None = None) -> dict:
     from object_tracking_tpu.config import Config
@@ -164,8 +165,8 @@ if __name__ == '__main__':
                    help='frames each object is hidden mid-trajectory')
     p.add_argument('--clutter', type=int, default=3,
                    help='unannotated distractor shapes per video')
-    p.add_argument('--bar-map', type=float, default=0.65)
-    p.add_argument('--bar-mota', type=float, default=0.55)
+    p.add_argument('--bar-map', type=float, default=0.68)
+    p.add_argument('--bar-mota', type=float, default=0.58)
     p.add_argument('--record-name', default='QUALITY.json',
                    help='file under benchmarks/ that --record writes '
                         '(e.g. QUALITY_416.json for the full-resolution '
