@@ -95,6 +95,19 @@ def _emit_once() -> bool:
         note.append('reference denominator measured on this chip '
                     f'{rec.get("date", "?")} by bench.py --full '
                     '(re-measure: python bench.py --full)')
+        # Self-auditing staleness check (VERDICT r4 Weak #6): flag a
+        # recorded denominator older than 30 days so the headline ratio
+        # can't silently rest on an ancient measurement.
+        try:
+            import datetime
+            age = (datetime.date.today()
+                   - datetime.date.fromisoformat(rec['date'])).days
+            if age > 30:
+                note.append(f'DENOMINATOR STALE: {age} days old — '
+                            'run python bench.py --full --record')
+        except Exception:
+            note.append('DENOMINATOR UNDATED — '
+                        'run python bench.py --full --record')
     out = {
         'metric': 'joint_detect_track_fps_per_chip_416',
         'value': round(float(native), 2),

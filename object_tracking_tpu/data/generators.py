@@ -486,9 +486,16 @@ class TrackerSequenceBatches(_GeneratorBase):
             gt = np.stack(gt_b)                   # (B, T, 4) corner fmt
 
         if self.det_dropout > 0.0:
-            keep = (self._rng.rand(*det.shape[:2])
-                    >= self.det_dropout).astype(np.float32)
-            det = det * keep[..., None]
+            # CONTRACT: a missed detection is EXACTLY all-zero float32
+            # (np.where against a zeros array, never an epsilon or a
+            # rounded bf16 product) — TinyTracker's presence gate
+            # (models/tiny_tracker.py) routes on `sum(|det|) > 0`, so any
+            # near-zero miss marker would silently take the present-frame
+            # branch. `_select_detection` upholds the same contract: its
+            # no-detection value is np.zeros. Keep all three in sync.
+            keep = self._rng.rand(*det.shape[:2]) >= self.det_dropout
+            det = np.where(keep[..., None], det,
+                           np.zeros_like(det)).astype(np.float32)
 
         # GT → center-format normalized target (preprocessing.py:429-432)
         cx = 0.5 * (gt[..., 0] + gt[..., 2])

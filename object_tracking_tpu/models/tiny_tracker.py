@@ -75,6 +75,13 @@ class TinyTracker(nn.Module):
             #   missed frames: a from-scratch sigmoid fill-in head,
             #     trained ONLY by missed-frame loss (the LSTM state
             #     carries the track through the gap).
+            # CONTRACT (ADVICE r4): 'missed' is det EXACTLY all-zero
+            # float32. Both producers (data/generators.py
+            # _select_detection's zeros default and det_dropout's
+            # np.where-zeroing) emit exact zeros in float32, never a
+            # bf16-rounded or epsilon-padded marker; `det` must stay
+            # float32 up to this gate. A future prior source must uphold
+            # the same convention or pass an explicit presence mask.
             present = (jnp.sum(jnp.abs(det), axis=-1, keepdims=True)
                        > 0)
             delta = nn.Dense(self.out_dim, dtype=self.dtype,

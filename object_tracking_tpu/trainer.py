@@ -191,6 +191,13 @@ def single_object_tracking(cfg, *, synthetic: bool = False,
         if at and cfg.train.resume_lr is not None:
             state = state.with_learning_rate(cfg.train.resume_lr)
             print(f'resume lr override → {cfg.train.resume_lr:.2e}')
+        elif not at and cfg.train.resume_lr is not None:
+            # A fine-tune launched against an empty/wrong workdir would
+            # silently train from scratch at the base lr (ADVICE r4).
+            raise RuntimeError(
+                'resume_lr is set but no checkpoint was restored — '
+                'check the workdir (a cross-resolution fine-tune would '
+                'otherwise train from scratch at the base lr)')
     # Resumed runs continue the epoch/step sequence: orbax silently
     # skips saves with step <= latest existing step, so restarting the
     # counter at 1 would write NO checkpoints until it passed the prior
@@ -315,6 +322,14 @@ def simult_multi_obj_detection_tracking(cfg, *, synthetic: bool = False,
         if at and cfg.train.resume_lr is not None:
             state = state.with_learning_rate(cfg.train.resume_lr)
             print(f'resume lr override → {cfg.train.resume_lr:.2e}')
+        elif not at and cfg.train.resume_lr is not None:
+            # A fine-tune launched against an empty/wrong workdir would
+            # silently train from scratch at the base lr while recording
+            # transfer provenance in the output JSON (ADVICE r4).
+            raise RuntimeError(
+                'resume_lr is set but no checkpoint was restored — '
+                'check the workdir (a cross-resolution fine-tune would '
+                'otherwise train from scratch at the base lr)')
     import contextlib
     trace_ctx = contextlib.nullcontext()
     if profile_dir:
