@@ -14,6 +14,11 @@
 //   ott_load_image_f32(...)       — one file → resized RGB float32 [0,1]
 //   ott_image_size(...)           — decode header only → (h, w)
 //   ott_load_batch_f32(...)       — N files → (N,H,W,3) with a worker pool
+//   ott_load_batch_u8(...)        — N files → (N,H,W,3) uint8 RGB (no
+//                                   normalize): the device-resident train
+//                                   path ships uint8 host→HBM (4x less
+//                                   interconnect traffic) and normalizes
+//                                   on device, fused into the first conv
 //   ott_nms_scores(...)           — reference-semantics greedy per-class NMS
 //                                   (darknet do_nms_obj capability,
 //                                   utility/utils.py:239-252 semantics)
@@ -261,11 +266,84 @@ int load_one(const char* path, int out_h, int out_w, float* out) {
   return 0;
 }
 
+// uint8 variant: identical separable bilinear geometry, but the output
+// stays uint8 RGB (round-to-nearest), no /255 — the normalize moves to
+// the device, fused into the first conv by XLA. Interpolation runs in
+// float over raw byte values for the same arithmetic as the f32 path
+// minus the kInv255 factor.
+void resize_bilinear_u8(const Image8& src, int dst_h, int dst_w,
+                        uint8_t* dst) {
+  const float sy = static_cast<float>(src.h) / dst_h;
+  const float sx = static_cast<float>(src.w) / dst_w;
+  const uint8_t* sp = src.px.data();
+  const int sw = src.w;
+  const int row_n = dst_w * 3;
+
+  std::vector<int> x0s(dst_w), x1s(dst_w);
+  std::vector<float> fxs(dst_w);
+  for (int x = 0; x < dst_w; ++x) {
+    float fx = (x + 0.5f) * sx - 0.5f;
+    fx = std::max(0.0f, std::min(fx, static_cast<float>(src.w - 1)));
+    int x0 = static_cast<int>(fx);
+    x0s[x] = x0 * 3;
+    x1s[x] = std::min(x0 + 1, src.w - 1) * 3;
+    fxs[x] = fx - x0;
+  }
+
+  std::vector<float> hbuf(2 * static_cast<size_t>(row_n));
+  int cached[2] = {-1, -1};
+  auto hrow = [&](int ys) -> const float* {
+    for (int s = 0; s < 2; ++s)
+      if (cached[s] == ys) return hbuf.data() + s * row_n;
+    int slot = (cached[0] == -1 || cached[1] == -1)
+                   ? (cached[0] == -1 ? 0 : 1)
+                   : (cached[0] < cached[1] ? 0 : 1);
+    float* hb = hbuf.data() + slot * row_n;
+    const uint8_t* r = sp + static_cast<size_t>(ys) * sw * 3;
+    for (int x = 0; x < dst_w; ++x) {
+      const int x0 = x0s[x], x1 = x1s[x];
+      const float w1 = fxs[x], w0 = 1.0f - w1;
+      hb[x * 3 + 0] = w0 * r[x0 + 0] + w1 * r[x1 + 0];
+      hb[x * 3 + 1] = w0 * r[x0 + 1] + w1 * r[x1 + 1];
+      hb[x * 3 + 2] = w0 * r[x0 + 2] + w1 * r[x1 + 2];
+    }
+    cached[slot] = ys;
+    return hb;
+  };
+
+  for (int y = 0; y < dst_h; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    fy = std::max(0.0f, std::min(fy, static_cast<float>(src.h - 1)));
+    int y0 = static_cast<int>(fy);
+    int y1 = std::min(y0 + 1, src.h - 1);
+    const float wy = fy - y0;
+    const float* h0 = hrow(y0);
+    const float* h1 = (y1 == y0) ? h0 : hrow(y1);
+    uint8_t* drow = dst + static_cast<size_t>(y) * row_n;
+    if (wy == 0.0f || h0 == h1) {
+      for (int i = 0; i < row_n; ++i)
+        drow[i] = static_cast<uint8_t>(h0[i] + 0.5f);
+    } else {
+      const float w0 = 1.0f - wy;
+      for (int i = 0; i < row_n; ++i)
+        drow[i] = static_cast<uint8_t>(w0 * h0[i] + wy * h1[i] + 0.5f);
+    }
+  }
+}
+
+int load_one_u8(const char* path, int out_h, int out_w, uint8_t* out) {
+  Image8 img;
+  if (!decode_file(path, &img, /*header_only=*/false)) return 1;
+  if (img.h <= 0 || img.w <= 0) return 2;
+  resize_bilinear_u8(img, out_h, out_w, out);
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
 
-int ott_version() { return 3; }
+int ott_version() { return 4; }
 
 // One file → out (out_h*out_w*3 float32, RGB HWC, [0,1]). 0 on success.
 int ott_load_image_f32(const char* path, int out_h, int out_w, float* out) {
@@ -293,6 +371,34 @@ int ott_load_batch_f32(const char** paths, int n, int out_h, int out_w,
     for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
       if (load_one(paths[i], out_h, out_w, out + stride * i) != 0) {
         std::memset(out + stride * i, 0, stride * sizeof(float));
+        failed.fetch_add(1);
+      }
+    }
+  };
+  if (workers == 1) {
+    work();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(workers);
+    for (int t = 0; t < workers; ++t) pool.emplace_back(work);
+    for (auto& th : pool) th.join();
+  }
+  return failed.load();
+}
+
+// N files → out (n*out_h*out_w*3 uint8 RGB, unnormalized). Worker pool of
+// n_threads (<=0 → 1). Returns the number of failed images; failed slots
+// are zero-filled.
+int ott_load_batch_u8(const char** paths, int n, int out_h, int out_w,
+                      uint8_t* out, int n_threads) {
+  if (n <= 0) return 0;
+  const size_t stride = static_cast<size_t>(out_h) * out_w * 3;
+  int workers = std::max(1, std::min(n_threads <= 0 ? 1 : n_threads, n));
+  std::atomic<int> next{0}, failed{0};
+  auto work = [&]() {
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      if (load_one_u8(paths[i], out_h, out_w, out + stride * i) != 0) {
+        std::memset(out + stride * i, 0, stride);
         failed.fetch_add(1);
       }
     }

@@ -130,6 +130,24 @@ class _GeneratorBase:
             return self._batch_loader(list(paths))
         return np.stack([self.loader(p) for p in paths])
 
+    def _load_paths_u8(self, paths: Sequence[str]) -> np.ndarray:
+        """(N, net_h, net_w, 3) uint8 RGB, resized but NOT normalized —
+        the raw-mode host decode (4x less host→device traffic; /255
+        happens on device inside the fused train step)."""
+        from object_tracking_tpu.data import native_loader
+        if native_loader.available():
+            return native_loader.load_batch_u8(
+                list(paths), self.net_h, self.net_w, n_threads=2)
+        import cv2
+        out = np.empty((len(paths), self.net_h, self.net_w, 3), np.uint8)
+        for i, p in enumerate(paths):
+            img = cv2.imread(p)
+            if img is None:
+                raise FileNotFoundError(p)
+            out[i] = cv2.resize(
+                img, (self.net_w, self.net_h))[:, :, ::-1]  # BGR→RGB
+        return out
+
     def _dump_debug(self, images: np.ndarray, boxes: np.ndarray,
                     batch_idx: int) -> None:
         """Reference `debug` flag behavior: write augmented images with GT
@@ -235,12 +253,22 @@ class SequenceBatches(_GeneratorBase):
                  augment: bool = True,
                  aug_config: Optional[AugmentConfig] = None,
                  seed: int = 0, loader=None, drop_last: bool = True,
-                 debug_dir: Optional[str] = None):
+                 debug_dir: Optional[str] = None,
+                 raw_mode: bool = False):
         super().__init__(labels, net_h, net_w, anchors, batch_size,
                          max_boxes, grid_h, grid_w, augment, aug_config,
                          seed, loader, debug_dir)
         self.windows = [list(w) for w in windows]
         self.drop_last = drop_last
+        # raw_mode: emit host-only uint8 batches for the fused
+        # device-resident train path (training/steps.py
+        # make_joint_train_step_fused): {'images_u8', 'boxes', 'cls',
+        # 'valid', 'aug_seeds'} — no device work in the generator at
+        # all, so the fit loop's prefetch thread never touches the
+        # device (axon clients are not thread-safe) and per step the
+        # host link carries ONE uint8 image shipment instead of the
+        # legacy f32 up + f32 down + f32 up round trip.
+        self.raw_mode = raw_mode
         # One key per window → identical transform across its frames.
         self._aug = (lambda k, ims, bxs: augment_sequences_batch(
             k, ims, bxs, self.aug_config))
@@ -268,8 +296,6 @@ class SequenceBatches(_GeneratorBase):
                     ) -> Dict:
         flat_paths = [a.filename for win in wins for a in win]
         t = len(wins[0])
-        images = self._load_paths(flat_paths).reshape(
-            (len(wins), t) + (self.net_h, self.net_w, 3))  # (B,T,H,W,3)
         boxes, cls, valid = [], [], []
         for win in wins:
             p = [_pad_boxes(a, self.labels, self.max_boxes,
@@ -279,6 +305,18 @@ class SequenceBatches(_GeneratorBase):
             valid.append(np.stack([q[2] for q in p]))
         boxes = np.stack(boxes)
         cls, valid = np.stack(cls), np.stack(valid)
+        if self.raw_mode:
+            shape = (len(wins), t, self.net_h, self.net_w, 3)
+            return {
+                'images_u8': self._load_paths_u8(flat_paths).reshape(
+                    shape),
+                'boxes': boxes, 'cls': cls, 'valid': valid,
+                # per-window augmentation seeds (fold_in'd on device);
+                # int32 range keeps fold_in happy on every backend
+                'aug_seeds': self._rng.randint(
+                    0, 2**31 - 1, size=len(wins)).astype(np.uint32)}
+        images = self._load_paths(flat_paths).reshape(
+            (len(wins), t) + (self.net_h, self.net_w, 3))  # (B,T,H,W,3)
         if self.augment:
             keys = jax.random.split(self._next_key(), len(wins))
             images, boxes = self._aug(keys, jnp.asarray(images),

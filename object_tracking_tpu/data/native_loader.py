@@ -25,7 +25,7 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), 'native')
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 
 _lib = None
 _lib_lock = threading.Lock()
@@ -46,6 +46,11 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
                                        ctypes.c_int, ctypes.c_int, f32_p,
                                        ctypes.c_int]
     lib.ott_load_batch_f32.restype = ctypes.c_int
+    u8_p = ctypes.POINTER(ctypes.c_uint8)
+    lib.ott_load_batch_u8.argtypes = [c_char_pp, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int, u8_p,
+                                      ctypes.c_int]
+    lib.ott_load_batch_u8.restype = ctypes.c_int
     lib.ott_nms_scores.argtypes = [f32_p, f32_p, ctypes.c_int,
                                    ctypes.c_int, ctypes.c_float]
     lib.ott_nms_scores.restype = None
@@ -145,6 +150,29 @@ def load_batch(paths: Sequence[str], net_h: int, net_w: int,
     return out
 
 
+def load_batch_u8(paths: Sequence[str], net_h: int, net_w: int,
+                  n_threads: int = 0) -> np.ndarray:
+    """N files → (N, net_h, net_w, 3) uint8 RGB, resized but NOT
+    normalized — the device-resident train path's host decode: uint8
+    ships 4x less data host→HBM and the /255 happens on device, fused
+    into the first conv (see training/steps.py fused steps)."""
+    lib = load_library()
+    if lib is None:
+        raise ImportError('libottdata.so unavailable')
+    n = len(paths)
+    out = np.empty((n, net_h, net_w, 3), np.uint8)
+    if n == 0:
+        return out
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    failed = lib.ott_load_batch_u8(
+        arr, n, net_h, net_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_threads)
+    if failed:
+        raise FileNotFoundError(
+            f'native decode failed for {failed}/{n} images')
+    return out
+
+
 def nms_scores(boxes: np.ndarray, scores: np.ndarray,
                nms_threshold: float = 0.45) -> np.ndarray:
     """Host-side greedy per-class NMS (reference utils.py:239-252 / darknet
@@ -175,48 +203,10 @@ def make_loader(net_h: int, net_w: int
     return load
 
 
-class PrefetchingBatchLoader:
-    """Background-thread double buffering over `load_batch`.
-
-    ctypes calls release the GIL, so one prefetch thread overlaps the next
-    batch's decode with device compute even on a single host core (decode
-    runs while the main thread blocks in `jax.block_until_ready`). This is
-    the framework-native replacement for Keras `fit_generator`'s
-    `max_queue_size=3` worker queue (reference BaseTracker.py:112).
-    """
-
-    def __init__(self, net_h: int, net_w: int, n_threads: int = 0):
-        if not available():
-            raise ImportError('libottdata.so unavailable')
-        self.net_h, self.net_w = net_h, net_w
-        self.n_threads = n_threads
-        self._thread: Optional[threading.Thread] = None
-        self._result = None
-        self._error: Optional[BaseException] = None
-
-    def prefetch(self, paths: Sequence[str]) -> None:
-        self.join()
-        paths = list(paths)
-
-        def work():
-            try:
-                self._result = load_batch(paths, self.net_h, self.net_w,
-                                          self.n_threads)
-            except BaseException as e:  # re-raised on take()
-                self._error = e
-
-        self._thread = threading.Thread(target=work, daemon=True)
-        self._thread.start()
-
-    def join(self) -> None:
-        if self._thread is not None:
-            self._thread.join()
-            self._thread = None
-
-    def take(self) -> np.ndarray:
-        self.join()
-        if self._error is not None:
-            err, self._error = self._error, None
-            raise err
-        res, self._result = self._result, None
-        return res
+# NOTE: batch prefetch/double-buffering lives in the fit loop
+# (training/loop.py::_prefetch runs the whole batch pipeline — including
+# these GIL-releasing C decodes — in a background queue, the
+# framework-native replacement for Keras fit_generator's
+# max_queue_size=3 worker pool, reference BaseTracker.py:112). An
+# earlier per-loader PrefetchingBatchLoader class here duplicated that
+# and was never wired in; it was removed (VERDICT r4).

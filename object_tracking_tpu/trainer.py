@@ -233,7 +233,8 @@ def simult_multi_obj_detection_tracking(cfg, *, synthetic: bool = False,
     from object_tracking_tpu.models import MultiObjDetTracker
     from object_tracking_tpu.models.yolov2 import rerandomize_head
     from object_tracking_tpu.training import (
-        TrainState, fit, make_joint_eval_step, make_joint_train_step,
+        TrainState, fit, make_joint_eval_step, make_joint_eval_step_fused,
+        make_joint_train_step, make_joint_train_step_fused,
         make_optimizer)
 
     labels = cfg.joint.labels
@@ -243,6 +244,11 @@ def simult_multi_obj_detection_tracking(cfg, *, synthetic: bool = False,
         labels = ('1', '2')
         cfg = _synthetic_dirs(cfg, (size, size), labels)
     logs, models_dir, mesh, shard_fn = _common_setup(cfg, workdir)
+
+    # Device-resident path (config.py TrainConfig.device_data): raw
+    # uint8 batches + the fused steps. debug needs augmented pixels on
+    # host for the dump dir, so it keeps the legacy pipeline.
+    fused = cfg.train.device_data and not cfg.train.debug
 
     def build(split_img, split_ann, augment):
         anns, _ = parse_annotation_dir(
@@ -254,7 +260,7 @@ def simult_multi_obj_detection_tracking(cfg, *, synthetic: bool = False,
             anchors=cfg.detector.anchors,
             batch_size=cfg.joint.batch_size,
             max_boxes=cfg.train.max_boxes_per_image, augment=augment,
-            seed=cfg.train.seed,
+            seed=cfg.train.seed, raw_mode=fused,
             debug_dir=('data/debug' if cfg.train.debug else None))
 
     train_gen = build(cfg.train.train_image_folder,
@@ -337,13 +343,25 @@ def simult_multi_obj_detection_tracking(cfg, *, synthetic: bool = False,
         # viewable in TensorBoard's profile plugin (SURVEY §5 tracing).
         from object_tracking_tpu.utils.profiling import profile_trace
         trace_ctx = profile_trace(profile_dir)
+    if fused:
+        enc = dict(net_h=size, net_w=size, grid_h=gh, grid_w=gw,
+                   num_classes=len(labels),
+                   true_box_buffer=cfg.train.max_boxes_per_image)
+        train_step = make_joint_train_step_fused(
+            cfg.detector.anchors, cfg.loss, cfg.joint,
+            augment=cfg.train.augment, **enc)
+        eval_step = make_joint_eval_step_fused(
+            cfg.detector.anchors, cfg.loss, cfg.joint, **enc)
+    else:
+        train_step = make_joint_train_step(cfg.detector.anchors,
+                                           cfg.loss, cfg.joint)
+        eval_step = make_joint_eval_step(cfg.detector.anchors,
+                                         cfg.loss, cfg.joint)
     with trace_ctx:
         state = fit(state,
-                    make_joint_train_step(cfg.detector.anchors, cfg.loss,
-                                          cfg.joint),
+                    train_step,
                     train_gen,
-                    eval_step=make_joint_eval_step(cfg.detector.anchors,
-                                                   cfg.loss, cfg.joint),
+                    eval_step=eval_step,
                     val_batches=val_gen,
                     # continue the restored step sequence so orbax does
                     # not silently skip resumed saves (ADVICE r2);

@@ -13,6 +13,7 @@ train steps over the framework mesh, orbax step-metadata checkpoints
 from object_tracking_tpu.training.state import TrainState, make_optimizer  # noqa: F401
 from object_tracking_tpu.training.steps import (  # noqa: F401
     make_joint_train_step, make_joint_eval_step,
+    make_joint_train_step_fused, make_joint_eval_step_fused,
     make_tiny_train_step, make_tiny_eval_step,
     make_detector_train_step, make_multihead_detector_train_step,
 )

@@ -138,6 +138,111 @@ def make_joint_eval_step(anchors, loss_cfg: Optional[LossConfig] = None,
     return step
 
 
+def _prepare_raw_joint_batch(batch, aug_cfg, encode_fn, augment: bool):
+    """Raw uint8 host batch → the images/y_true/true_boxes pytree, all on
+    device inside the caller's jit.
+
+    This is the device-resident data path (VERDICT r4 #1): the host ships
+    {'images_u8' (B,T,H,W,3) uint8, 'boxes' (B,T,M,4) px, 'cls', 'valid',
+    'aug_seeds' (B,) uint32} and everything downstream — /255 normalize,
+    sequence-coherent augmentation, YOLO target encoding — happens in the
+    SAME compiled program as the train step. The legacy path instead
+    augmented+encoded in a separate device program and pulled the
+    augmented images back to host (generators.py round trip), costing 3x
+    image traffic per step over the host link.
+    """
+    from object_tracking_tpu.data.augment import augment_sequence
+    images = batch['images_u8'].astype(jnp.float32) / 255.0
+    boxes = batch['boxes'].astype(jnp.float32)
+    if augment:
+        # One key per window — identical transform across its frames
+        # (the reference's per-sequence reseed trick,
+        # preprocessing.py:344-347,364); host supplies per-window seeds.
+        base = jax.random.PRNGKey(0)
+        keys = jax.vmap(
+            lambda s: jax.random.fold_in(base, s))(batch['aug_seeds'])
+        images, boxes = jax.vmap(
+            lambda k, im, bx: augment_sequence(k, im, bx, aug_cfg))(
+            keys, images, boxes)
+    y, b = jax.vmap(jax.vmap(encode_fn))(boxes, batch['cls'],
+                                         batch['valid'])
+    return {'images': images, 'y_true': y, 'true_boxes': b}
+
+
+def make_joint_train_step_fused(anchors, loss_cfg=None, joint_cfg=None,
+                                *, net_h: int = 416, net_w: int = 416,
+                                grid_h: int = 13, grid_w: int = 13,
+                                num_classes: int = 12,
+                                true_box_buffer: int = 50,
+                                aug_cfg=None,
+                                augment: bool = True) -> Callable:
+    """Joint train step over RAW uint8 batches: normalize + augment +
+    target-encode + forward/backward/Adam in ONE jitted program — no
+    intermediate device→host round trip (see _prepare_raw_joint_batch).
+    Pair with SequenceBatches(raw_mode=True)."""
+    from object_tracking_tpu.data.augment import AugmentConfig
+    from object_tracking_tpu.ops.targets import encode_targets
+    loss_cfg = loss_cfg or LossConfig()
+    joint_cfg = joint_cfg or JointConfig()
+    aug_cfg = aug_cfg or AugmentConfig()
+    # Host-side on purpose (axon constant-embedding; see above).
+    anchors = np.asarray(anchors, np.float32)
+
+    def encode_fn(bx, cl, vd):
+        return encode_targets(
+            bx, cl, vd, anchors, image_h=net_h, image_w=net_w,
+            grid_h=grid_h, grid_w=grid_w, num_classes=num_classes,
+            true_box_buffer=true_box_buffer)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, raw):
+        batch = _prepare_raw_joint_batch(raw, aug_cfg, encode_fn,
+                                         augment)
+        grad_fn = jax.value_and_grad(
+            lambda p: _joint_loss(
+                {'params': p, 'batch_stats': state.batch_stats},
+                state.apply_fn, batch, anchors, loss_cfg, joint_cfg,
+                state.step, train=True),
+            has_aux=True)
+        (_, (metrics, updates)), grads = grad_fn(state.params)
+        new_state = state.apply_gradients(
+            grads, new_batch_stats=updates.get('batch_stats'))
+        return new_state, metrics
+
+    return step
+
+
+def make_joint_eval_step_fused(anchors, loss_cfg=None, joint_cfg=None,
+                               *, net_h: int = 416, net_w: int = 416,
+                               grid_h: int = 13, grid_w: int = 13,
+                               num_classes: int = 12,
+                               true_box_buffer: int = 50,
+                               use_batch_stats: bool = True) -> Callable:
+    """Eval twin of make_joint_train_step_fused: raw uint8 val batches,
+    normalize + encode on device, no augmentation."""
+    from object_tracking_tpu.ops.targets import encode_targets
+    loss_cfg = loss_cfg or LossConfig()
+    joint_cfg = joint_cfg or JointConfig()
+    anchors = np.asarray(anchors, np.float32)
+
+    def encode_fn(bx, cl, vd):
+        return encode_targets(
+            bx, cl, vd, anchors, image_h=net_h, image_w=net_w,
+            grid_h=grid_h, grid_w=grid_w, num_classes=num_classes,
+            true_box_buffer=true_box_buffer)
+
+    @jax.jit
+    def step(state, raw):
+        batch = _prepare_raw_joint_batch(raw, None, encode_fn,
+                                         augment=False)
+        _, (metrics, _) = _joint_loss(
+            state.variables, state.apply_fn, batch, anchors, loss_cfg,
+            joint_cfg, state.step, train=use_batch_stats)
+        return metrics
+
+    return step
+
+
 def make_detector_train_step(anchors,
                              loss_cfg: Optional[LossConfig] = None
                              ) -> Callable:

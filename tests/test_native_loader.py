@@ -95,12 +95,17 @@ def test_nms_matches_device_op(rng):
     np.testing.assert_allclose(np.asarray(dev_scores), native, atol=1e-6)
 
 
-def test_prefetching_batch_loader(image_files):
+def test_load_batch_u8_matches_f32(image_files):
+    """The uint8 raw-mode path is the f32 path minus /255, to rounding:
+    u8 == round(f32 * 255) within 1 LSB (same decode, same separable
+    bilinear geometry)."""
     jpg, png, _ = image_files
-    loader = native_loader.PrefetchingBatchLoader(32, 32)
-    loader.prefetch([jpg, png])
-    first = loader.take()
-    loader.prefetch([png])
-    second = loader.take()
-    assert first.shape == (2, 32, 32, 3)
-    np.testing.assert_array_equal(second[0], first[1])
+    u8 = native_loader.load_batch_u8([jpg, png], 64, 48, n_threads=2)
+    f32 = native_loader.load_batch([jpg, png], 64, 48, n_threads=2)
+    assert u8.shape == (2, 64, 48, 3) and u8.dtype == np.uint8
+    assert np.abs(u8.astype(np.float32) - f32 * 255.0).max() <= 1.0
+
+
+def test_load_batch_u8_missing_file_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        native_loader.load_batch_u8([str(tmp_path / 'nope.jpg')], 32, 32)

@@ -232,3 +232,70 @@ def test_fit_early_stops(rng):
         eval_step=make_tiny_eval_step(), val_batches=lambda: iter([batch]),
         epochs=50, early_stopping=EarlyStopping(patience=2, min_delta=0.0))
     assert int(final.step) <= 4
+
+
+# ------------------------------------------------- fused (device-resident)
+def test_fused_joint_steps_match_legacy(tmp_path):
+    """The device-resident path (raw uint8 batches + fused steps) must
+    compute the SAME loss as the legacy generator pipeline when fed the
+    same pixels: normalize/encode merely moved inside the step's jit."""
+    from object_tracking_tpu.data import (
+        SequenceBatches, make_sequence_windows, parse_annotation_dir)
+    from object_tracking_tpu.data.synthetic import make_synthetic_dataset
+    from object_tracking_tpu.models import MultiObjDetTracker
+    from object_tracking_tpu.training import (
+        make_joint_eval_step, make_joint_eval_step_fused,
+        make_joint_train_step_fused)
+
+    img_dir, ann_dir = make_synthetic_dataset(
+        str(tmp_path), num_videos=1, frames_per_video=4,
+        image_size=(64, 64), labels=('1',))
+    anns, _ = parse_annotation_dir(ann_dir, img_dir, labels=['1'])
+    wins = make_sequence_windows(anns, 2)
+    anchors = [1.0, 1.0]
+    common = dict(net_h=64, net_w=64, grid_h=2, grid_w=2,
+                  anchors=anchors, batch_size=2, max_boxes=5,
+                  augment=False, seed=0)
+    legacy = next(iter(SequenceBatches(wins, ['1'], **common)()))
+    raw = next(iter(SequenceBatches(wins, ['1'], raw_mode=True,
+                                    **common)()))
+    assert raw['images_u8'].dtype == np.uint8
+    assert raw['images_u8'].shape == (2, 2, 64, 64, 3)
+
+    model = MultiObjDetTracker(num_classes=1, num_anchors=1,
+                               convlstm_features=8, width_div=8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 2, 64, 64, 3)))
+    state = TrainState.create(model.apply, variables,
+                              make_optimizer(1e-3))
+
+    enc = dict(net_h=64, net_w=64, grid_h=2, grid_w=2, num_classes=1,
+               true_box_buffer=5)
+    fused_eval = make_joint_eval_step_fused(anchors, **enc)
+    legacy_eval = make_joint_eval_step(anchors)
+
+    # Feed the legacy path the u8-quantized pixels so the two programs
+    # see bit-identical inputs; their losses must then agree exactly.
+    legacy_same = dict(legacy)
+    legacy_same['images'] = (
+        raw['images_u8'].astype(np.float32) / 255.0)
+    m_legacy = legacy_eval(state, legacy_same)
+    m_fused = fused_eval(state, raw)
+    np.testing.assert_allclose(float(m_fused['loss']),
+                               float(m_legacy['loss']),
+                               rtol=1e-5, atol=1e-6)
+
+    # Un-patched legacy pixels (f32 loader) differ by <= 1 LSB → losses
+    # stay close; catches any gross divergence between the two decode
+    # paths end to end.
+    m_raw_pixels = legacy_eval(state, legacy)
+    assert abs(float(m_fused['loss']) - float(m_raw_pixels['loss'])) \
+        < 0.05 * max(1.0, abs(float(m_raw_pixels['loss'])))
+
+    # Augmented fused train step: runs, finite, and actually trains.
+    fused_train = make_joint_train_step_fused(anchors, augment=True,
+                                              **enc)
+    step_before = int(state.step)    # read before donation deletes it
+    new_state, metrics = fused_train(state, raw)
+    assert np.isfinite(float(metrics['loss']))
+    assert int(new_state.step) == step_before + 1
