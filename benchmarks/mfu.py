@@ -112,9 +112,13 @@ def mfu_rows(joint_fps: float | None, det_train_ips: float | None,
     return rows
 
 
-def measure():
+def measure(joint_batches=(1,)):
     """Pull-fenced re-measurement on the real chip (see bench.py for the
-    fencing methodology — block_until_ready lies on this tunnel)."""
+    fencing methodology — block_until_ready lies on this tunnel).
+    `joint_batches`: clip-batch sizes to time the joint program at —
+    B=1 is reference parity (MultiObjDetTracker.py:97); B>1 is the
+    serving lever round 4 left unmeasured (VERDICT r4 #2: batching
+    multiplies the sequential ConvLSTM step's arithmetic intensity)."""
     import time
 
     import jax
@@ -144,24 +148,29 @@ def measure():
         out = model.apply(variables, images, train=False)
         return jnp.tanh(out['track'].sum()) * 1e-9
 
-    clip_u8 = jax.device_put(
-        (rng.rand(1, t, 416, 416, 3) * 255).astype(np.uint8))
+    joint_fps_by_b = {}
     salt = jax.device_put(jnp.float32(0))
-    salt = joint_step(variables, clip_u8, salt)     # compile
-    float(np.asarray(salt))                         # pays d2h setup
-    print('joint compiled+fenced; timing...', file=sys.stderr, flush=True)
-    start = time.perf_counter()
-    for _ in range(64):
-        salt = joint_step(variables, clip_u8, salt)
-    float(np.asarray(salt))
-    est = 64 / (time.perf_counter() - start)
-    iters = max(int(est * 5), 64)
-    start = time.perf_counter()
-    for _ in range(iters):
-        salt = joint_step(variables, clip_u8, salt)
-    float(np.asarray(salt))
-    joint_fps = iters * t / (time.perf_counter() - start)
-    print(f'joint_fps={joint_fps:.1f}', file=sys.stderr, flush=True)
+    for bi, b in enumerate(joint_batches):
+        clip_u8 = jax.device_put(
+            (rng.rand(b, t, 416, 416, 3) * 255).astype(np.uint8))
+        salt = joint_step(variables, clip_u8, salt)     # compile
+        float(np.asarray(salt))               # fence (pays d2h setup 1st)
+        print(f'joint B={b} compiled+fenced; timing...', file=sys.stderr,
+              flush=True)
+        start = time.perf_counter()
+        for _ in range(64):
+            salt = joint_step(variables, clip_u8, salt)
+        float(np.asarray(salt))
+        est = 64 / (time.perf_counter() - start)
+        iters = max(int(est * 5), 64)
+        start = time.perf_counter()
+        for _ in range(iters):
+            salt = joint_step(variables, clip_u8, salt)
+        float(np.asarray(salt))
+        joint_fps_by_b[b] = iters * b * t / (time.perf_counter() - start)
+        print(f'joint_fps[B={b}]={joint_fps_by_b[b]:.1f}',
+              file=sys.stderr, flush=True)
+    joint_fps = joint_fps_by_b[joint_batches[0]]
 
     # Standalone detector train step, B=8, bf16 activations (the round-3
     # row said "B=8 fp32" — dtype is stated in the output either way).
@@ -200,7 +209,7 @@ def measure():
     det_ips = iters * b / (time.perf_counter() - start)
     print(f'det_train_img_per_s={det_ips:.1f}', file=sys.stderr,
           flush=True)
-    return joint_fps, det_ips
+    return joint_fps, det_ips, joint_fps_by_b
 
 
 def main():
@@ -208,6 +217,9 @@ def main():
     p.add_argument('--measure', action='store_true',
                    help='re-time on the real chip (pull-fenced); '
                         'otherwise use recorded rates from MEASURED.json')
+    p.add_argument('--batches', default='1',
+                   help='comma-separated joint clip-batch sizes to time '
+                        '(with --measure), e.g. 1,8,16')
     p.add_argument('--joint-fps', type=float, default=None)
     p.add_argument('--det-train-ips', type=float, default=None)
     a = p.parse_args()
@@ -224,8 +236,10 @@ def main():
           f"joint {fl['joint_gflops']:.2f} GF/frame", file=sys.stderr)
 
     joint_fps, det_ips = a.joint_fps, a.det_train_ips
+    fps_by_b = {}
     if a.measure:
-        joint_fps, det_ips = measure()
+        batches = tuple(int(x) for x in a.batches.split(','))
+        joint_fps, det_ips, fps_by_b = measure(batches)
     elif joint_fps is None:
         rec = {}
         mpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -234,8 +248,19 @@ def main():
             rec = json.load(open(mpath))
         joint_fps = rec.get('native_fps')
 
+    rows = mfu_rows(joint_fps, det_ips)
+    for b, fps in fps_by_b.items():
+        if b == 1:
+            continue
+        tf = fps * fl['joint_gflops'] / 1e3
+        rows.append({'workload': f'joint inference, clip batch B={b}',
+                     'rate_fps': round(fps, 1),
+                     'gflops_per_frame': round(fl['joint_gflops'], 2),
+                     'tflops': round(tf, 1),
+                     **{f'mfu_{c}': round(tf / p, 3)
+                        for c, p in PEAKS_TFLOPS.items()}})
     print(json.dumps({'flops': {k: round(v, 2) for k, v in fl.items()},
-                      'rows': mfu_rows(joint_fps, det_ips)}))
+                      'rows': rows}))
 
 
 if __name__ == '__main__':

@@ -43,7 +43,8 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
         record: bool = False, record_name: str = 'QUALITY.json',
         eval_only: bool = False,
         resume: bool = False, objects: int = 3, crossing: bool = True,
-        occlusion: int = 2, clutter: int = 3,
+        occlusion=2, clutter: int = 3,
+        object_scale_jitter: float = 0.0, camera_pan: float = 0.0,
         bar_map: float = 0.68, bar_mota: float = 0.58,
         transfer_from: str | None = None,
         resume_lr: float | None = None) -> dict:
@@ -58,7 +59,9 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
 
     labels = ('1', '2')
     scene = dict(objects_per_video=objects, crossing=crossing,
-                 occlusion_frames=occlusion, clutter=clutter)
+                 occlusion_frames=occlusion, clutter=clutter,
+                 object_scale_jitter=object_scale_jitter,
+                 camera_pan=camera_pan)
     wd = workdir or tempfile.mkdtemp(prefix='ott_quality_')
     train_img, train_ann = make_synthetic_dataset(
         os.path.join(wd, 'train'), num_videos=videos,
@@ -121,8 +124,13 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
            'scene': {'objects_per_frame': objects,
                      'crossing': crossing,
                      'crossings_per_video': crossings_per_video,
-                     'occlusion_frames': occlusion,
-                     'clutter': clutter},
+                     'occlusion_frames': (list(occlusion)
+                                          if isinstance(occlusion,
+                                                        (tuple, list))
+                                          else occlusion),
+                     'clutter': clutter,
+                     'object_scale_jitter': object_scale_jitter,
+                     'camera_pan': camera_pan},
            'per_video': per_video,
            'bar': {'map': bar_map, 'mota': bar_mota},
            'passed': bool(overall['map'] >= bar_map
@@ -161,10 +169,17 @@ if __name__ == '__main__':
                    '(1 = legacy single-object scenes)')
     p.add_argument('--no-crossing', action='store_true',
                    help='disable crossing trajectories')
-    p.add_argument('--occlusion', type=int, default=2,
-                   help='frames each object is hidden mid-trajectory')
+    p.add_argument('--occlusion', default='2',
+                   help='frames each object is hidden mid-trajectory: '
+                   'an int ("2") or a per-object range ("4-6")')
     p.add_argument('--clutter', type=int, default=3,
                    help='unannotated distractor shapes per video')
+    p.add_argument('--object-scale-jitter', type=float, default=0.0,
+                   help='per-OBJECT box-scale variation (±fraction) — '
+                   'MOT17-style near/far size diversity')
+    p.add_argument('--camera-pan', type=float, default=0.0,
+                   help='smooth camera pan per video, as a fraction of '
+                   'the frame (objects can leave and re-enter view)')
     p.add_argument('--bar-map', type=float, default=0.68)
     p.add_argument('--bar-mota', type=float, default=0.58)
     p.add_argument('--record-name', default='QUALITY.json',
@@ -188,11 +203,15 @@ if __name__ == '__main__':
                    '(a plateau-reduced rate follows the checkpoint; '
                    'cross-resolution fine-tuning wants a fresh one)')
     a = p.parse_args()
+    occ = (tuple(int(x) for x in a.occlusion.split('-'))
+           if '-' in a.occlusion else int(a.occlusion))
     run(epochs=a.epochs, size=a.size, videos=a.videos, frames=a.frames,
         batch_size=a.batch_size, lr=a.lr, grad_clip=a.clip,
         warm_up_epochs=a.warm_up_epochs, workdir=a.workdir, record=True,
         record_name=a.record_name,
         eval_only=a.eval_only, resume=a.resume, objects=a.objects,
-        crossing=not a.no_crossing, occlusion=a.occlusion,
-        clutter=a.clutter, bar_map=a.bar_map, bar_mota=a.bar_mota,
+        crossing=not a.no_crossing, occlusion=occ,
+        clutter=a.clutter, object_scale_jitter=a.object_scale_jitter,
+        camera_pan=a.camera_pan,
+        bar_map=a.bar_map, bar_mota=a.bar_mota,
         transfer_from=a.transfer_from, resume_lr=a.resume_lr)

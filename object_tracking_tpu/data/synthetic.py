@@ -57,6 +57,23 @@ def _draw_object(img, x, y, bw, bh, class_idx: int) -> None:
     _draw_shape(img, x, y, bw, bh, color, shape)
 
 
+def _draw_clipped(img, x, y, bw, bh, color, shape) -> None:
+    """Draw a shape whose box may extend past the frame (camera pan):
+    cv2's ellipse clips itself; the square path needs explicit
+    clamping (negative numpy slices would wrap)."""
+    import cv2
+    h, w = img.shape[:2]
+    if x + bw <= 0 or y + bh <= 0 or x >= w or y >= h:
+        return
+    if shape == 'circle':
+        cv2.ellipse(img, (x + bw // 2, y + bh // 2),
+                    (bw // 2, bh // 2), 0, 0, 360, color, -1)
+    else:
+        x1, y1 = max(x, 0), max(y, 0)
+        x2, y2 = min(x + bw, w), min(y + bh, h)
+        img[y1:y2, x1:x2] = color
+
+
 class _Track:
     """One object's trajectory: position integrated per frame, velocity
     reflected at the borders, optionally hidden for an occlusion span."""
@@ -89,13 +106,30 @@ class _Track:
         return (x, y, x + self.bw, y + self.bh)
 
 
+def _occ_span(rng, occlusion_frames) -> int:
+    """occlusion_frames: int span, or (lo, hi) inclusive range drawn
+    per object (MOT17-like occlusions vary in length)."""
+    if isinstance(occlusion_frames, (tuple, list)):
+        lo, hi = occlusion_frames
+        return int(rng.randint(lo, hi + 1)) if hi > 0 else 0
+    return int(occlusion_frames)
+
+
 def _spawn_tracks(rng, num: int, w: int, h: int, bw: int, bh: int,
                   num_classes: int, frames: int, crossing: bool,
-                  occlusion_frames: int, base_trackid: int
-                  ) -> List[_Track]:
+                  occlusion_frames, base_trackid: int,
+                  object_scale_jitter: float = 0.0) -> List[_Track]:
+    base_bw, base_bh = bw, bh
     tracks = []
     for i in range(num):
         class_idx = i % num_classes
+        if object_scale_jitter:
+            # per-OBJECT scale diversity (MOT17 crowds mix near/far
+            # pedestrians at very different apparent sizes)
+            s = 1.0 + rng.uniform(-object_scale_jitter,
+                                  object_scale_jitter)
+            bw = max(int(base_bw * s), 4)
+            bh = max(int(base_bh * s), 4)
         if crossing and num >= 2:
             # Opposite-edge starts with velocities aimed through the
             # frame center: every pair's paths intersect mid-video, the
@@ -122,11 +156,12 @@ def _spawn_tracks(rng, num: int, w: int, h: int, bw: int, bh: int,
             y = rng.uniform(0, h - bh)
             vx, vy = rng.randint(-8, 9, size=2).astype(float)
         hide = (0, 0)
-        if occlusion_frames > 0 and frames > occlusion_frames + 2:
+        span = _occ_span(rng, occlusion_frames)
+        if span > 0 and frames > span + 2:
             # hide once mid-trajectory; never the first/last frame, so
             # the track both pre-exists and outlives its occlusion
-            lo = int(rng.randint(1, frames - occlusion_frames))
-            hide = (lo, lo + occlusion_frames)
+            lo = int(rng.randint(1, frames - span))
+            hide = (lo, lo + span)
         tracks.append(_Track(base_trackid + i, class_idx, float(x),
                              float(y), vx, vy, bw, bh, hide))
     return tracks
@@ -140,8 +175,10 @@ def make_synthetic_dataset(root: str, *, num_videos: int = 2,
                            size_jitter: float = 0.0,
                            objects_per_video: int = 1,
                            crossing: bool = False,
-                           occlusion_frames: int = 0,
-                           clutter: int = 0) -> Tuple[str, str]:
+                           occlusion_frames=0,
+                           clutter: int = 0,
+                           object_scale_jitter: float = 0.0,
+                           camera_pan: float = 0.0) -> Tuple[str, str]:
     """Write JPEG frames + VOC XMLs; returns (image_dir, annot_dir).
 
     Each class index renders with a distinct fill color/shape so
@@ -151,6 +188,17 @@ def make_synthetic_dataset(root: str, *, num_videos: int = 2,
     `objects_per_video > 1` every frame contains that many tracked
     objects (distinct trackids, classes cycling); see the module
     docstring for `crossing` / `occlusion_frames` / `clutter`.
+
+    Round-5 knobs ratcheting the scenes toward MOT17 statistics
+    (/root/reference/utility/motd_to_pascal.py:19-30 schema — crowds,
+    variable occlusion, moving camera):
+    - `occlusion_frames` may be an (lo, hi) range drawn per object;
+    - `object_scale_jitter` varies the PER-OBJECT box scale ±fraction
+      (near/far crowd members at different apparent sizes);
+    - `camera_pan` > 0 pans the whole scene (background and objects
+      shift together) by a smooth random walk of up to that fraction of
+      the frame per video — objects can leave the view, dropping GT
+      like MOT visibility 0, and re-enter under the same trackid.
     """
     import cv2
     rng = np.random.RandomState(seed)
@@ -173,16 +221,27 @@ def make_synthetic_dataset(root: str, *, num_videos: int = 2,
             vx, vy = rng.randint(-8, 9, size=2).astype(float)
             tracks = [_Track(v, v % len(labels), float(x), float(y),
                              vx, vy, bw, bh)]
-            if occlusion_frames > 0 and \
-                    frames_per_video > occlusion_frames + 2:
-                lo = int(rng.randint(
-                    1, frames_per_video - occlusion_frames))
-                tracks[0].hide = (lo, lo + occlusion_frames)
+            span = _occ_span(rng, occlusion_frames)
+            if span > 0 and frames_per_video > span + 2:
+                lo = int(rng.randint(1, frames_per_video - span))
+                tracks[0].hide = (lo, lo + span)
         else:
             tracks = _spawn_tracks(
                 rng, objects_per_video, w, h, bw, bh, len(labels),
                 frames_per_video, crossing, occlusion_frames,
-                base_trackid=v * objects_per_video)
+                base_trackid=v * objects_per_video,
+                object_scale_jitter=object_scale_jitter)
+        # camera pan: smooth random-walk offset per frame, shared by
+        # background and every object (a moving camera over a static
+        # world), bounded to ±camera_pan of the frame
+        pan = np.zeros((frames_per_video, 2), int)
+        if camera_pan > 0:
+            step_px = camera_pan * min(w, h) / max(
+                np.sqrt(frames_per_video), 1.0)
+            walk = np.cumsum(rng.randn(frames_per_video, 2) * step_px,
+                             axis=0)
+            lim = camera_pan * np.array([w, h])
+            pan = np.clip(walk, -lim, lim).astype(int)
         bg = rng.randint(0, 80, size=(h, w, 3), dtype=np.uint8)
         # static unannotated distractors, drawn under the objects
         lutter = []
@@ -196,17 +255,33 @@ def make_synthetic_dataset(root: str, *, num_videos: int = 2,
             if f > 0:
                 for tr in tracks:
                     tr.step(w, h)
-            img = bg.copy()
+            dx, dy = int(pan[f, 0]), int(pan[f, 1])
+            # the camera shows world coords [dx, dx+w) x [dy, dy+h);
+            # np.roll wraps the texture (cheap, seam is just texture)
+            img = np.roll(bg, (-dy, -dx), axis=(0, 1)).copy()
             for (cx, cy, cw, ch, (color, shape)) in lutter:
-                _draw_shape(img, cx, cy, cw, ch, color, shape)
+                _draw_clipped(img, cx - dx, cy - dy, cw, ch, color,
+                              shape)
             objs = []
             for tr in tracks:
                 if not tr.visible(f):
                     continue
-                box = tr.box()
-                _draw_object(img, box[0], box[1], tr.bw, tr.bh,
-                             tr.class_idx)
-                objs.append((labels[tr.class_idx], tr.trackid, box))
+                x1, y1, x2, y2 = tr.box()
+                x1, x2 = x1 - dx, x2 - dx
+                y1, y2 = y1 - dy, y2 - dy
+                _draw_clipped(img, x1, y1, tr.bw, tr.bh,
+                              _CLASS_STYLES[tr.class_idx
+                                            % len(_CLASS_STYLES)][0],
+                              _CLASS_STYLES[tr.class_idx
+                                            % len(_CLASS_STYLES)][1])
+                # GT clipped to the view; dropped when (nearly) out of
+                # frame — the panning camera's analogue of MOT
+                # visibility 0 (the trackid survives to re-entry)
+                cx1, cy1 = max(x1, 0), max(y1, 0)
+                cx2, cy2 = min(x2, w), min(y2, h)
+                if cx2 - cx1 >= 4 and cy2 - cy1 >= 4:
+                    objs.append((labels[tr.class_idx], tr.trackid,
+                                 (cx1, cy1, cx2, cy2)))
             fname = f'{f:04d}.jpg'
             cv2.imwrite(os.path.join(image_dir, folder, fname), img)
             _write_xml(os.path.join(annot_dir, folder, f'{f:04d}.xml'),

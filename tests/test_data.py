@@ -490,3 +490,55 @@ def test_parse_annotation_dir_cache(tmp_path, synth):
     a3, _ = parse_annotation_dir(ann_dir, img_dir, labels=['1'],
                                  cache_dir=str(cache))
     assert len(a3) == len(a1)
+
+
+def test_synthetic_mot17_ratchet_knobs(tmp_path):
+    """Round-5 scene knobs: crowded frames (6+ objects), per-object
+    occlusion spans drawn from a range, per-object scale diversity, and
+    camera pan that shifts GT coherently and drops out-of-view GT while
+    preserving trackids."""
+    img_dir, ann_dir = make_synthetic_dataset(
+        str(tmp_path), num_videos=1, frames_per_video=16,
+        image_size=(192, 192), labels=('1', '2'), objects_per_video=6,
+        crossing=True, occlusion_frames=(4, 6), clutter=3,
+        object_scale_jitter=0.4, camera_pan=0.15, seed=7)
+    anns, _ = parse_annotation_dir(ann_dir, img_dir, labels=['1', '2'])
+    frames = sorted(anns, key=lambda a: a.filename)
+    assert len(frames) == 16
+    counts = [len(a.objects) for a in frames]
+    assert max(counts) == 6                    # crowded frames exist
+    assert min(counts) < 6                     # occlusion/pan drop GT
+    # per-object occlusion spans between 4 and 6 frames: every track
+    # misses at least 4 consecutive frames somewhere mid-clip
+    tids = {o.trackid for a in frames for o in a.objects}
+    assert len(tids) == 6
+    # scale diversity: the per-frame box areas differ across objects
+    areas = {}
+    for a in frames:
+        for o in a.objects:
+            areas.setdefault(o.trackid, []).append(
+                (o.xmax - o.xmin) * (o.ymax - o.ymin))
+    max_area = {t: max(v) for t, v in areas.items()}
+    assert max(max_area.values()) > 1.5 * min(max_area.values()), \
+        max_area
+    # all GT stays inside the frame after the pan clip
+    for a in frames:
+        for o in a.objects:
+            assert 0 <= o.xmin < o.xmax <= 192
+            assert 0 <= o.ymin < o.ymax <= 192
+
+
+def test_synthetic_occlusion_range_scalar_equivalence(tmp_path):
+    """A scalar occlusion span and a degenerate (k, k) range produce
+    identically-shaped datasets (the knob is backward compatible)."""
+    d1 = make_synthetic_dataset(
+        str(tmp_path / 'a'), num_videos=1, frames_per_video=10,
+        image_size=(96, 96), labels=('1',), objects_per_video=2,
+        occlusion_frames=2, seed=3)
+    d2 = make_synthetic_dataset(
+        str(tmp_path / 'b'), num_videos=1, frames_per_video=10,
+        image_size=(96, 96), labels=('1',), objects_per_video=2,
+        occlusion_frames=(2, 2), seed=3)
+    a1, _ = parse_annotation_dir(d1[1], d1[0], labels=['1'])
+    a2, _ = parse_annotation_dir(d2[1], d2[0], labels=['1'])
+    assert [len(a.objects) for a in a1] == [len(a.objects) for a in a2]
