@@ -47,7 +47,8 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
         object_scale_jitter: float = 0.0, camera_pan: float = 0.0,
         bar_map: float = 0.68, bar_mota: float = 0.58,
         transfer_from: str | None = None,
-        resume_lr: float | None = None) -> dict:
+        resume_lr: float | None = None,
+        archive_as: str | None = None) -> dict:
     from object_tracking_tpu.config import Config
     from object_tracking_tpu.data.synthetic import make_synthetic_dataset
     from object_tracking_tpu.trainer import (
@@ -151,7 +152,80 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
                              record_name)
         with open(qpath, 'w') as f:
             json.dump(out, f, indent=1)
+    if record or archive_as:
+        archive_run_metrics(
+            wd, archive_as or record_name.replace('.json', ''))
     return out
+
+
+def run_seeds(seeds, record_name: str = 'QUALITY.json', **kw) -> dict:
+    """Multi-seed joint quality with spread (VERDICT r4 #4): one full
+    train+eval per seed (fresh scenes and init), aggregated as means at
+    the report.py-schema top level, min/max spread, and a per-seed
+    array; passing requires EVERY seed to clear the bar. Each seed's
+    metrics.jsonl is archived under benchmarks/runs/."""
+    import numpy as np
+    base = record_name.replace('.json', '')
+    runs = [run(seed=s, record=False,
+                archive_as=f'{base}_seed{s}', **kw)
+            for s in seeds]
+    maps = [r['map'] for r in runs]
+    motas = [r['mota'] for r in runs]
+    out = dict(runs[0])
+    out.update({
+        'map': round(float(np.mean(maps)), 4),
+        'mota': round(float(np.mean(motas)), 4),
+        'motp': round(float(np.mean([r['motp'] for r in runs])), 4),
+        'id_switches': int(round(float(np.mean(
+            [r['id_switches'] for r in runs])))),
+        'seeds': list(seeds),
+        'map_min': round(min(maps), 4), 'map_max': round(max(maps), 4),
+        'mota_min': round(min(motas), 4),
+        'mota_max': round(max(motas), 4),
+        'per_seed': [{'seed': s, 'map': r['map'], 'mota': r['mota'],
+                      'motp': r['motp'],
+                      'id_switches': r['id_switches'],
+                      'passed': r['passed']}
+                     for s, r in zip(seeds, runs)],
+        'passed': bool(all(r['passed'] for r in runs)),
+    })
+    out.pop('per_video', None)     # per-seed arrays carry the detail now
+    print(json.dumps(out))
+    qpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         record_name)
+    with open(qpath, 'w') as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
+def archive_run_metrics(wd: str, name: str) -> str | None:
+    """Commit-able run provenance (VERDICT r4 #7): copy the run's
+    metrics.jsonl — compacted to 5 significant digits — into the
+    tracked benchmarks/runs/<name>.metrics.jsonl, so every RESULTS.md
+    stability/quality table regenerates from the repo alone
+    (benchmarks/epoch_table.py <file> <steps_per_epoch>) instead of a
+    gitignored workdir that round 4's audit found already deleted."""
+    import glob
+    runs = sorted(glob.glob(os.path.join(wd, 'logs', '*',
+                                         'metrics.jsonl')),
+                  key=os.path.getmtime)
+    if not runs:
+        return None
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           'runs')
+    os.makedirs(out_dir, exist_ok=True)
+    dst = os.path.join(out_dir, f'{name}.metrics.jsonl')
+
+    def compact(v):
+        return float(f'{v:.5g}') if isinstance(v, float) else v
+
+    with open(runs[-1]) as src, open(dst, 'w') as f:
+        for line in src:
+            rec = json.loads(line)
+            rec.pop('time', None)          # wall stamps aren't evidence
+            f.write(json.dumps({k: compact(v) for k, v in rec.items()})
+                    + '\n')
+    return dst
 
 
 if __name__ == '__main__':
@@ -202,16 +276,25 @@ if __name__ == '__main__':
                    help='override the restored learning rate on resume '
                    '(a plateau-reduced rate follows the checkpoint; '
                    'cross-resolution fine-tuning wants a fresh one)')
+    p.add_argument('--seeds', default=None,
+                   help='comma-separated seed list (e.g. 0,1) — runs '
+                   'every seed and records mean ± min/max; omitted = '
+                   'one seed-0 run (legacy)')
     a = p.parse_args()
     occ = (tuple(int(x) for x in a.occlusion.split('-'))
            if '-' in a.occlusion else int(a.occlusion))
-    run(epochs=a.epochs, size=a.size, videos=a.videos, frames=a.frames,
-        batch_size=a.batch_size, lr=a.lr, grad_clip=a.clip,
-        warm_up_epochs=a.warm_up_epochs, workdir=a.workdir, record=True,
-        record_name=a.record_name,
-        eval_only=a.eval_only, resume=a.resume, objects=a.objects,
-        crossing=not a.no_crossing, occlusion=occ,
-        clutter=a.clutter, object_scale_jitter=a.object_scale_jitter,
-        camera_pan=a.camera_pan,
-        bar_map=a.bar_map, bar_mota=a.bar_mota,
-        transfer_from=a.transfer_from, resume_lr=a.resume_lr)
+    kw = dict(epochs=a.epochs, size=a.size, videos=a.videos,
+              frames=a.frames, batch_size=a.batch_size, lr=a.lr,
+              grad_clip=a.clip, warm_up_epochs=a.warm_up_epochs,
+              objects=a.objects, crossing=not a.no_crossing,
+              occlusion=occ, clutter=a.clutter,
+              object_scale_jitter=a.object_scale_jitter,
+              camera_pan=a.camera_pan,
+              bar_map=a.bar_map, bar_mota=a.bar_mota)
+    if a.seeds:
+        run_seeds([int(s) for s in a.seeds.split(',')],
+                  record_name=a.record_name, **kw)
+    else:
+        run(workdir=a.workdir, record=True, record_name=a.record_name,
+            eval_only=a.eval_only, resume=a.resume,
+            transfer_from=a.transfer_from, resume_lr=a.resume_lr, **kw)
