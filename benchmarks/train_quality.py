@@ -94,6 +94,10 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
     cfg.train.max_epochs = epochs
     cfg.train.early_stop_patience = max(epochs, 20)  # run the clock out
     cfg.train.augment = True
+    # Each save ships the 51M-param state device→host (~12 s over the
+    # tunnel); per-epoch saves dominated wall clock once the fused data
+    # path made steps fast. Final epoch always saves.
+    cfg.train.checkpoint_every_epochs = 5
     cfg.train.resume = resume   # pick up an interrupted run's checkpoint
     cfg.train.resume_lr = resume_lr   # fresh rate for cross-res fine-tune
 

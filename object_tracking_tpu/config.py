@@ -243,6 +243,11 @@ class TrainConfig:
     # the new data distribution needs a fresh rate.
     resume_lr: Optional[float] = None
     checkpoint_dir: str = 'checkpoints/'
+    # Save every N epochs (final epoch always saves). 1 = the
+    # reference's checkpoint-per-epoch (MultiObjDetTracker.py:253-259);
+    # larger values trade resume granularity for wall clock — each save
+    # ships the full train state device→host.
+    checkpoint_every_epochs: int = 1
     augment: bool = True
     log_every_steps: int = 1
     # Non-empty enables the parsed-annotation pickle cache (reference

@@ -211,7 +211,8 @@ def single_object_tracking(cfg, *, synthetic: bool = False,
                 initial_epoch=at,
                 shard_fn=shard_fn, logger=logger, checkpoints=ckpts,
                 early_stopping=early, reduce_lr=reduce_lr,
-                log_every_steps=cfg.train.log_every_steps)
+                log_every_steps=cfg.train.log_every_steps,
+                checkpoint_every=cfg.train.checkpoint_every_epochs)
     logger.close()
     ckpts.close()
     return state
@@ -370,7 +371,8 @@ def simult_multi_obj_detection_tracking(cfg, *, synthetic: bool = False,
                     initial_epoch=at,
                     shard_fn=shard_fn, logger=logger, checkpoints=ckpts,
                     early_stopping=early, reduce_lr=reduce_lr,
-                    log_every_steps=cfg.train.log_every_steps)
+                    log_every_steps=cfg.train.log_every_steps,
+                checkpoint_every=cfg.train.checkpoint_every_epochs)
     logger.close()
     ckpts.close()
     return state

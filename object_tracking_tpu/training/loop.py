@@ -112,6 +112,7 @@ def fit(state,
         reduce_lr: Optional[ReduceLROnPlateau] = None,
         log_every_steps: int = 10,
         prefetch: int = 2,
+        checkpoint_every: int = 1,
         on_epoch_end: Optional[Callable] = None):
     """Run the training loop; returns the final TrainState.
 
@@ -161,7 +162,16 @@ def fit(state,
               + f'({dt:.1f}s, {len(train_hist)} steps)')
 
         monitored = val_metrics.get('loss', train_metrics.get('loss'))
-        if checkpoints is not None:
+        if checkpoints is not None and (
+                (epoch + 1) % max(checkpoint_every, 1) == 0
+                or epoch + 1 == epochs):
+            # checkpoint_every > 1 trades resume granularity for wall
+            # clock: each save ships the full state device→host (~12 s
+            # for the 51M-param joint model over the axon tunnel),
+            # which dominated epochs once the step loop got fast.
+            # Default 1 = the reference's checkpoint-per-epoch
+            # (MultiObjDetTracker.py:253-259); the final epoch always
+            # saves.
             checkpoints.save(epoch + 1, state,
                              metrics={'val_loss': float(monitored)})
         if reduce_lr is not None and monitored is not None:
