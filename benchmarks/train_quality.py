@@ -98,6 +98,12 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
     # tunnel); per-epoch saves dominated wall clock once the fused data
     # path made steps fast. Final epoch always saves.
     cfg.train.checkpoint_every_epochs = 5
+    # From-scratch training on noisy multi-object val loss: the
+    # reference's patience-2 plateau parks lr at min_lr within ~10
+    # epochs (measured: two reductions by epoch 9 on the hard scenes),
+    # starving the late phase where recall climbs. ~8 epochs of
+    # patience keeps the schedule responsive without the collapse.
+    cfg.train.joint_reduce_lr_patience = 8
     cfg.train.resume = resume   # pick up an interrupted run's checkpoint
     cfg.train.resume_lr = resume_lr   # fresh rate for cross-res fine-tune
 

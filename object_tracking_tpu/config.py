@@ -228,6 +228,12 @@ class TrainConfig:
     early_stop_patience: int = 10        # BaseTracker.py:82-86
     reduce_lr_factor: float = 0.5        # BaseTracker.py:88-94
     reduce_lr_patience: int = 5
+    # Plateau patience for the JOINT flow. The reference hardcodes 2
+    # (MultiObjDetTracker.py:261-266) — kept as the default — but on
+    # hard scenes a noisy val loss trips patience-2 reductions within a
+    # few epochs and parks the lr at min_lr long before convergence;
+    # harnesses raise this for from-scratch runs.
+    joint_reduce_lr_patience: int = 2
     min_lr: float = 1e-5                 # MultiObjDetTracker.py:266
     tensorboard_dir: str = 'logs/'
     saved_model_dir: str = 'models/'

@@ -109,6 +109,44 @@ class JointPredictor:
 
         self._run = _run
 
+        # Batched-serving twin: B independent clip streams in ONE
+        # program — decode vmapped over (B, T), identity assignment a
+        # per-clip scan vmapped over B. Measured on the real chip the
+        # joint program runs 2.0x more frames/sec at B=16 than at B=1
+        # (benchmarks/RESULTS.md MFU table: 0.579 vs 0.291 MFU), so
+        # serving wants this path whenever clips can be batched.
+        @jax.jit
+        def _run_batch(variables, images, state, track_state):
+            out = self.model.apply(variables, images, train=batch_bn,
+                                   initial_state=state,
+                                   return_state=True,
+                                   mutable=['batch_stats']
+                                   if batch_bn else False)
+            if batch_bn:
+                out, _ = out
+            netout = out[head]               # (B, T, GH, GW, A, 5+C)
+            dets = jax.vmap(jax.vmap(lambda n: decode_and_nms(
+                n, self.anchors, obj_threshold=obj_threshold,
+                nms_threshold=nms_threshold)))(netout)
+            if greedy:
+                def frame(ts, det):
+                    boxes, det_labels, _scores, valid = det
+                    ts, ids = assign_tracks(
+                        ts, boxes, det_labels.astype(jnp.int32), valid,
+                        iou_threshold=iou_threshold, max_age=max_age)
+                    return ts, ids
+
+                def clip(ts, det_seq):
+                    return jax.lax.scan(frame, ts, det_seq)
+                track_state, ids = jax.vmap(clip)(track_state, dets)
+            else:
+                ids = None
+            state = jax.tree_util.tree_map(
+                lambda s: s.astype(jnp.float32), out['state'])
+            return dets, ids, state, track_state
+
+        self._run_batch = _run_batch
+
     def _load_window(self, paths: Sequence[str]) -> np.ndarray:
         import cv2
         frames = []
@@ -188,6 +226,85 @@ class JointPredictor:
                  'score': s, 'box': b, 'track_id': int(ids[i])}
                 for i, (l, s, b) in enumerate(dets)])
         return out
+
+    def _unpack_frames(self, boxes, labels, scores, valid, dev_ids,
+                       tracks: Optional[TrackManager] = None):
+        """Per-frame detection dicts for one clip's (T, ...) outputs."""
+        out = []
+        for t in range(boxes.shape[0]):
+            if dev_ids is not None:
+                v = np.asarray(valid[t])
+                order = np.argsort(-np.asarray(scores[t])[v],
+                                   kind='stable')
+                dets = boxes_to_list(boxes[t], labels[t], scores[t],
+                                     valid[t])
+                ids = list(np.asarray(dev_ids[t])[v][order])
+            else:
+                dets = boxes_to_list(boxes[t], labels[t], scores[t],
+                                     valid[t])
+                det_boxes = np.asarray([d[2] for d in dets], np.float32) \
+                    if dets else np.zeros((0, 4), np.float32)
+                det_labels = np.asarray([d[0] for d in dets], np.int32) \
+                    if dets else np.zeros((0,), np.int32)
+                ids = (tracks or self.tracks).update(det_boxes,
+                                                     labels=det_labels)
+            out.append([
+                {'label': self.labels[l] if l < len(self.labels)
+                 else str(l),
+                 'score': s, 'box': b, 'track_id': int(ids[i])}
+                for i, (l, s, b) in enumerate(dets)])
+        return out
+
+    def reset_batch_state(self) -> None:
+        """Drop all batched streams' carried state."""
+        self._bstate = None
+        self._btrack_state = None
+
+    def predict_batch(self, clips) -> List[List[List[dict]]]:
+        """B INDEPENDENT clip streams in one device program.
+
+        clips: (B, T, H, W, 3) float32 in [0, 1]. Returns per clip the
+        same per-frame structure as `predict_window`. Consecutive calls
+        stream: clip i's ConvLSTM + track state carries to the next
+        call's clip i (a batch-size change resets all streams).
+
+        Use this for serving whenever clips can be batched: the joint
+        clip program measured 2.0x the B=1 frames/sec at B=16 on one
+        chip (RESULTS.md MFU table — the sequential ConvLSTM step
+        under-fills the MXU at B=1). Requires matcher='greedy'
+        (identity assignment stays inside the jit, vmapped per clip).
+        Note: bn_mode='batch' (reference parity) computes BatchNorm
+        statistics over the WHOLE batch, weakly coupling streams;
+        bn_mode='running' keeps them exactly independent.
+        """
+        if self.matcher != 'greedy':
+            raise ValueError(
+                'predict_batch requires matcher="greedy" (the host '
+                'Hungarian path is per-stream)')
+        x = np.asarray(clips, np.float32)
+        b = x.shape[0]
+        if getattr(self, '_bstate', None) is not None and \
+                jax.tree_util.tree_leaves(
+                    self._bstate)[0].shape[0] != b:
+            self.reset_batch_state()
+        if getattr(self, '_bstate', None) is None:
+            gh, gw = self.net_h // 32, self.net_w // 32
+            if hasattr(self.model, 'zero_state'):
+                self._bstate = self.model.zero_state(b, gh, gw)
+            else:
+                feats = self.model.convlstm_features
+                zeros = jnp.zeros((b, gh, gw, feats), jnp.float32)
+                self._bstate = (zeros, zeros)
+            self._btrack_state = jax.vmap(
+                lambda _: init_track_state(self.max_tracks))(
+                jnp.arange(b))
+        (boxes, labels, scores, valid), dev_ids, self._bstate, \
+            self._btrack_state = self._run_batch(
+                self.variables, x, self._bstate, self._btrack_state)
+        dev_ids = np.asarray(dev_ids)
+        return [self._unpack_frames(boxes[i], labels[i], scores[i],
+                                    valid[i], dev_ids[i])
+                for i in range(b)]
 
     def predict_video(self, paths: Sequence[str], window: int = 4,
                       draw_dir: Optional[str] = None

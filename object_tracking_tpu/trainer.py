@@ -48,10 +48,13 @@ def _make_callback_stack(cfg, logs: str, ckpt_dir: str, joint: bool):
     logger = MetricLogger(numbered_run_dir(logs))
     ckpts = CheckpointManager(ckpt_dir)
     early = EarlyStopping(patience=cfg.train.early_stop_patience)
-    # Joint pipeline uses patience 2 + min_lr (MultiObjDetTracker.py:261-266)
+    # Joint pipeline defaults to patience 2 + min_lr
+    # (MultiObjDetTracker.py:261-266); configurable via
+    # train.joint_reduce_lr_patience for from-scratch hard-scene runs.
     reduce_lr = ReduceLROnPlateau(
         factor=cfg.train.reduce_lr_factor,
-        patience=2 if joint else cfg.train.reduce_lr_patience,
+        patience=(cfg.train.joint_reduce_lr_patience if joint
+                  else cfg.train.reduce_lr_patience),
         min_lr=cfg.train.min_lr)
     return logger, ckpts, early, reduce_lr
 

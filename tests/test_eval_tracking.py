@@ -295,3 +295,60 @@ class TestMotionModel(TestAssignTracks):
         out = tm.update(np.array([[0.1 + 0.03 * 6, 0.5, 0.1, 0.1]],
                                  np.float32), labels=np.array([0]))
         assert out[0] == tid
+
+
+def test_joint_predictor_batch_matches_independent_streams(rng):
+    """predict_batch's B independent streams must reproduce per-clip
+    predict_window runs exactly (bn_mode='running' keeps BatchNorm from
+    coupling the streams), including carried state across windows."""
+    from object_tracking_tpu.inference import JointPredictor
+    from object_tracking_tpu.models import MultiObjDetTracker
+
+    b, t, size, c = 2, 2, 64, 2
+    model = MultiObjDetTracker(num_classes=c, num_anchors=2,
+                               convlstm_features=8, width_div=8)
+    clips = rng.rand(b, 2 * t, size, size, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.asarray(clips[:1, :t]))
+
+    def make():
+        return JointPredictor(
+            model, variables, anchors=[1.0, 1.0, 2.0, 2.0],
+            labels=['a', 'b'], obj_threshold=0.0, net_size=(size, size),
+            bn_mode='running')
+
+    batched = make()
+    got = [batched.predict_batch(clips[:, :t]),
+           batched.predict_batch(clips[:, t:])]   # streaming continuation
+    for i in range(b):
+        solo = make()
+        want = [solo.predict_window(clips[i, :t]),
+                solo.predict_window(clips[i, t:])]
+        for w_call, g_call in zip(want, got):
+            for w_frame, g_frame in zip(w_call, g_call[i]):
+                assert len(w_frame) == len(g_frame)
+                for wd, gd in zip(w_frame, g_frame):
+                    assert wd['label'] == gd['label']
+                    assert wd['track_id'] == gd['track_id']
+                    np.testing.assert_allclose(wd['box'], gd['box'],
+                                               rtol=1e-5, atol=1e-5)
+                    np.testing.assert_allclose(wd['score'], gd['score'],
+                                               rtol=1e-5, atol=1e-5)
+
+
+def test_joint_predictor_batch_resets_on_size_change(rng):
+    from object_tracking_tpu.inference import JointPredictor
+    from object_tracking_tpu.models import MultiObjDetTracker
+
+    t, size, c = 2, 64, 2
+    model = MultiObjDetTracker(num_classes=c, num_anchors=2,
+                               convlstm_features=8, width_div=8)
+    clips3 = rng.rand(3, t, size, size, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.asarray(clips3[:1]))
+    pred = JointPredictor(
+        model, variables, anchors=[1.0, 1.0, 2.0, 2.0],
+        labels=['a', 'b'], obj_threshold=0.0, net_size=(size, size),
+        bn_mode='running')
+    assert len(pred.predict_batch(clips3)) == 3
+    assert len(pred.predict_batch(clips3[:2])) == 2   # resets, no crash
