@@ -45,6 +45,7 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
         resume: bool = False, objects: int = 3, crossing: bool = True,
         occlusion=2, clutter: int = 3,
         object_scale_jitter: float = 0.0, camera_pan: float = 0.0,
+        window: int = 4,
         bar_map: float = 0.68, bar_mota: float = 0.58,
         transfer_from: str | None = None,
         resume_lr: float | None = None,
@@ -78,6 +79,12 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
     cfg = Config()
     cfg.joint.labels = labels
     cfg.joint.batch_size = batch_size
+    # Training window length (reference: SEQUENCE_LENGTH=4,
+    # MultiObjDetTracker.py:101). Longer windows let the ConvLSTM carry
+    # tracks across occlusion spans longer than 4 frames — the id-switch
+    # lever on the hard scenes; `lax.scan` recurrence is O(1) memory in
+    # T so the only cost is compute.
+    cfg.joint.sequence_length = window
     cfg.detector.image_h = cfg.detector.image_w = size
     cfg.detector.grid_h = cfg.detector.grid_w = size // 32
     cfg.train.train_image_folder, cfg.train.train_annot_folder = (
@@ -89,7 +96,8 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
     # pretrained darknet weights): clip the exploding exp(wh) gradients
     # and pin early boxes to the anchors (warm-up) before free training.
     cfg.train.grad_clip_norm = grad_clip
-    steps_per_epoch = max(videos * (frames - 3) // batch_size, 1)
+    steps_per_epoch = max(videos * (frames - window + 1)
+                          // batch_size, 1)
     cfg.loss.warm_up_batches = warm_up_epochs * steps_per_epoch
     cfg.train.max_epochs = epochs
     cfg.train.early_stop_patience = max(epochs, 20)  # run the clock out
@@ -130,7 +138,7 @@ def run(epochs: int = 40, size: int = 160, videos: int = 24,
            'mota': round(float(overall['mota']), 4),
            'motp': round(float(overall['motp']), 4),
            'id_switches': int(overall['id_switches']),
-           'epochs': epochs, 'size': size,
+           'epochs': epochs, 'size': size, 'window': window,
            'train_frames': videos * frames,
            'scene': {'objects_per_frame': objects,
                      'crossing': crossing,
@@ -264,6 +272,10 @@ if __name__ == '__main__':
     p.add_argument('--camera-pan', type=float, default=0.0,
                    help='smooth camera pan per video, as a fraction of '
                    'the frame (objects can leave and re-enter view)')
+    p.add_argument('--window', type=int, default=4,
+                   help='training window length T (reference '
+                   'SEQUENCE_LENGTH=4); longer windows bridge longer '
+                   'occlusions')
     p.add_argument('--bar-map', type=float, default=0.68)
     p.add_argument('--bar-mota', type=float, default=0.58)
     p.add_argument('--record-name', default='QUALITY.json',
@@ -299,7 +311,7 @@ if __name__ == '__main__':
               objects=a.objects, crossing=not a.no_crossing,
               occlusion=occ, clutter=a.clutter,
               object_scale_jitter=a.object_scale_jitter,
-              camera_pan=a.camera_pan,
+              camera_pan=a.camera_pan, window=a.window,
               bar_map=a.bar_map, bar_mota=a.bar_mota)
     if a.seeds:
         run_seeds([int(s) for s in a.seeds.split(',')],
