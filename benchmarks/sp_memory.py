@@ -41,10 +41,13 @@ sys.path.insert(0, ROOT)
 HBM_BYTES_V5E = 16 * 1024 ** 3          # v5e: 16 GiB HBM per chip
 
 
-def compiled_memory(t: int, size: int = 416, check_runtime: bool = False
-                    ) -> dict:
+def compiled_memory(t: int, size: int = 416, check_runtime: bool = False,
+                    remat: bool = False) -> dict:
     """AOT-compile the dense joint train step at clip length `t` and
-    return the compiler's memory accounting (bytes)."""
+    return the compiler's memory accounting (bytes). `remat=True`
+    rematerializes the per-frame detector in backward
+    (JointConfig.remat → jax.checkpoint) — the FLOPs-for-HBM lever that
+    composes with sequence parallelism."""
     import jax
     import jax.numpy as jnp
 
@@ -57,7 +60,8 @@ def compiled_memory(t: int, size: int = 416, check_runtime: bool = False
     gh = gw = size // 32
     c, a = 12, 5
     model = MultiObjDetTracker(num_classes=c, num_anchors=a,
-                               convlstm_features=512, dtype=jnp.bfloat16)
+                               convlstm_features=512, dtype=jnp.bfloat16,
+                               remat=remat)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 2, 64, 64, 3)))
     state = TrainState.create(model.apply, variables,
@@ -99,6 +103,10 @@ def main() -> None:
     p.add_argument('--check-runtime-t', type=int, default=8,
                    help='T at which to cross-check against the runtime '
                         'peak (0 disables)')
+    p.add_argument('--remat', action='store_true',
+                   help='measure with the detector rematerialized in '
+                        'backward (jax.checkpoint) — the other HBM '
+                        'lever; recorded under a "remat" key')
     p.add_argument('--record', action='store_true')
     a = p.parse_args()
 
@@ -112,7 +120,8 @@ def main() -> None:
     for t in ts:
         try:
             rows[t] = compiled_memory(
-                t, a.size, check_runtime=(t == a.check_runtime_t))
+                t, a.size, check_runtime=(t == a.check_runtime_t),
+                remat=a.remat)
         except Exception as e:  # RESOURCE_EXHAUSTED at extreme T
             rows[t] = {'t': t, 'error': str(e)[:200]}
         got = rows[t].get('total_bytes')
@@ -136,7 +145,8 @@ def main() -> None:
                     rows[t // k]['total_bytes'] / 1e9, 3)
         table.append(entry)
 
-    out = {'size': a.size, 'hbm_gb': round(HBM_BYTES_V5E / 1e9, 1),
+    out = {'size': a.size, 'remat': bool(a.remat),
+           'hbm_gb': round(HBM_BYTES_V5E / 1e9, 1),
            'rows': table,
            'runtime_check': {
                't': a.check_runtime_t,
@@ -148,8 +158,8 @@ def main() -> None:
            'date': time.strftime('%Y-%m-%d')}
     print(json.dumps(out), flush=True)
     if a.record:
-        with open(os.path.join(ROOT, 'benchmarks', 'SP_MEMORY.json'),
-                  'w') as f:
+        name = 'SP_MEMORY_REMAT.json' if a.remat else 'SP_MEMORY.json'
+        with open(os.path.join(ROOT, 'benchmarks', name), 'w') as f:
             json.dump(out, f, indent=1)
 
 
