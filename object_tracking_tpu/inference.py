@@ -112,9 +112,10 @@ class JointPredictor:
         # Batched-serving twin: B independent clip streams in ONE
         # program — decode vmapped over (B, T), identity assignment a
         # per-clip scan vmapped over B. Measured on the real chip the
-        # joint program runs 2.0x more frames/sec at B=16 than at B=1
-        # (benchmarks/RESULTS.md MFU table: 0.579 vs 0.291 MFU), so
-        # serving wants this path whenever clips can be batched.
+        # joint program runs 2.4x more frames/sec at B=32 than at B=1
+        # (benchmarks/RESULTS.md MFU table: 0.703 vs 0.291 MFU,
+        # saturating at B=32), so serving wants this path whenever
+        # clips can be batched.
         @jax.jit
         def _run_batch(variables, images, state, track_state):
             out = self.model.apply(variables, images, train=batch_bn,

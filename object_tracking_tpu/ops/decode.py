@@ -64,19 +64,26 @@ def decode_netout(netout: jnp.ndarray, anchors,
 
 @functools.partial(
     jax.jit,
-    static_argnames=('obj_threshold', 'nms_threshold', 'top_k'))
+    static_argnames=('obj_threshold', 'nms_threshold', 'top_k',
+                     'nms_impl'))
 def decode_and_nms(netout: jnp.ndarray, anchors: jnp.ndarray,
                    obj_threshold: float = 0.5,
                    nms_threshold: float = 0.45,
-                   top_k: int = 128):
+                   top_k: int = 128,
+                   nms_impl: str = 'auto'):
     """Full decode+NMS. netout (H, W, A, 5+C) →
     (boxes (K, 4), labels (K,), scores (K,), valid (K,)).
 
     A candidate survives iff its best class score after NMS exceeds
     obj_threshold (utils.py:255 keeps `get_score() > obj_threshold`).
+
+    `nms_impl` forwards to `greedy_nms_scores` — serving export needs
+    the portable pure-XLA 'sort' (Pallas custom calls don't lower for
+    every `jax.export` target platform).
     """
     boxes, scores = decode_netout(netout, anchors, obj_threshold)
-    boxes, scores = greedy_nms_scores(boxes, scores, nms_threshold, top_k)
+    boxes, scores = greedy_nms_scores(boxes, scores, nms_threshold,
+                                      top_k, impl=nms_impl)
     labels = jnp.argmax(scores, axis=-1)
     best = jnp.max(scores, axis=-1)
     valid = best > obj_threshold

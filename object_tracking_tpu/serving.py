@@ -1,0 +1,286 @@
+"""AOT serving: the jitted joint clip program as a portable artifact.
+
+The reference's deployment story is "import the Python 2 Keras graph and
+call model.predict in-process" (/root/reference/models_tracking/
+MultiObjDetTracker.py:295-315) — serving requires the full framework,
+the model-building code, and a weight file, and the first request pays
+graph construction. Production TPU serving wants the opposite boundary:
+compile ONCE, ship ONE self-contained artifact, execute it from a thin
+host that knows nothing about model classes.
+
+`jax.export` is exactly that boundary, and this module packages the full
+clip program behind it:
+
+    uint8 frames -> /255 normalize -> Darknet-19 + FusedConvLSTM ->
+    per-frame decode + NMS -> in-jit greedy identity assignment ->
+    (padded detections, track ids, carried ConvLSTM + track state)
+
+with the trained weights BAKED IN as StableHLO constants. The artifact
+is one file (header JSON + serialized `jax.export.Exported`); reloading
+needs `ServedJointPredictor` only — no flax module, no config tree, no
+checkpoint directory. Because the export captures StableHLO (not a
+chip-specific binary), one artifact serves any platform jax can lower
+for at export time (`platforms=('tpu', 'cpu')` by default), and the
+carried-state calling convention makes it a STREAMING server: feed the
+returned state back in and the ConvLSTM context + track identities
+persist across windows, exactly like `inference.JointPredictor`.
+
+Design notes:
+- State in/out is explicit (pure function): a serving binary can hold
+  thousands of concurrent streams by keeping (convlstm_state,
+  track_state) per stream and batching compatible streams per call —
+  the measured B=16 clip batch runs 2.0x the frames/sec of B=1
+  (benchmarks/RESULTS.md MFU table).
+- The detections come back PADDED + masked (fixed shapes end to end:
+  the XLA contract), `ServedJointPredictor.predict_window` unpacks them
+  to the same per-frame dict surface as `JointPredictor`.
+- TrackState (a NamedTuple) crosses the serialization boundary via
+  `jax.export.register_namedtuple_serialization`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from object_tracking_tpu.config import TRACK_GATE_IOU
+from object_tracking_tpu.ops.decode import boxes_to_list, decode_and_nms
+from object_tracking_tpu.ops.matching import (
+    TrackState, assign_tracks, init_track_state)
+
+_MAGIC = b'OTTSERVE'
+_VERSION = 1
+
+jax_export.register_namedtuple_serialization(
+    TrackState, serialized_name='object_tracking_tpu.TrackState')
+
+
+def make_clip_program(model, variables, anchors,
+                      obj_threshold: float = 0.5,
+                      nms_threshold: float = 0.45,
+                      head: str = 'track',
+                      bn_mode: str = 'batch',
+                      iou_threshold: float = TRACK_GATE_IOU,
+                      max_age: int = 3):
+    """The pure clip function to be exported, weights baked in.
+
+    (frames_u8 (B, T, H, W, 3) uint8, convlstm_state, track_state) ->
+    ((boxes, labels, scores, valid), ids, convlstm_state', track_state')
+
+    Mirrors `inference.JointPredictor._run_batch` (same decode, same
+    in-jit greedy identity scan) but takes RAW uint8 frames so the
+    h2d transfer ships 1/4 of the float bytes and normalization runs
+    on device — the serving-host contract is "hand me decoded pixels".
+    """
+    anchors = np.asarray(anchors, np.float32)
+    batch_bn = bn_mode == 'batch'
+
+    def program(frames_u8, state, track_state):
+        images = frames_u8.astype(jnp.float32) / 255.0
+        out = model.apply(variables, images, train=batch_bn,
+                          initial_state=state, return_state=True,
+                          mutable=['batch_stats'] if batch_bn else False)
+        if batch_bn:
+            out, _ = out
+        netout = out[head]                   # (B, T, GH, GW, A, 5+C)
+        # nms_impl='sort': the pure-XLA formulation lowers for EVERY
+        # export target platform; the TPU Pallas kernel is a custom
+        # call the cpu lowering rejects, and its measured edge is
+        # ~13 us/clip — noise against the 39 GF/frame conv work
+        # (benchmarks/RESULTS.md micro table).
+        dets = jax.vmap(jax.vmap(lambda n: decode_and_nms(
+            n, anchors, obj_threshold=obj_threshold,
+            nms_threshold=nms_threshold, nms_impl='sort')))(netout)
+
+        def frame(ts, det):
+            boxes, det_labels, _scores, valid = det
+            ts, ids = assign_tracks(
+                ts, boxes, det_labels.astype(jnp.int32), valid,
+                iou_threshold=iou_threshold, max_age=max_age)
+            return ts, ids
+
+        def clip(ts, det_seq):
+            return jax.lax.scan(frame, ts, det_seq)
+
+        track_state, ids = jax.vmap(clip)(track_state, dets)
+        state = jax.tree_util.tree_map(
+            lambda s: s.astype(jnp.float32), out['state'])
+        return dets, ids, state, track_state
+
+    return program
+
+
+def export_joint(model, variables, anchors, labels: Sequence[str],
+                 batch: int = 1, window: int = 4,
+                 net_size: Tuple[int, int] = (416, 416),
+                 obj_threshold: float = 0.5,
+                 nms_threshold: float = 0.45,
+                 head: str = 'track',
+                 bn_mode: str = 'batch',
+                 iou_threshold: float = TRACK_GATE_IOU,
+                 max_tracks: int = 64, max_age: int = 3,
+                 platforms: Optional[Sequence[str]] = None) -> bytes:
+    """Export the clip program -> one self-contained artifact (bytes).
+
+    `platforms` defaults to ('tpu', 'cpu'): the artifact lowers for
+    both, so the same file serves on a TPU pod and on a CPU dev box.
+    Write the result with `save_artifact` / load with
+    `ServedJointPredictor.load`.
+    """
+    h, w = net_size
+    gh, gw = h // 32, w // 32
+    program = make_clip_program(
+        model, variables, anchors, obj_threshold=obj_threshold,
+        nms_threshold=nms_threshold, head=head, bn_mode=bn_mode,
+        iou_threshold=iou_threshold, max_age=max_age)
+    frames = jax.ShapeDtypeStruct((batch, window, h, w, 3), jnp.uint8)
+    state = jax.tree_util.tree_map(
+        lambda z: jax.ShapeDtypeStruct(z.shape, z.dtype),
+        _batched_zero_state(model, batch, gh, gw))
+    tstate = jax.tree_util.tree_map(
+        lambda z: jax.ShapeDtypeStruct(z.shape, z.dtype),
+        _batched_track_state(batch, max_tracks))
+    if platforms is None:
+        platforms = ('tpu', 'cpu')
+    exported = jax_export.export(jax.jit(program),
+                                 platforms=list(platforms))(
+        frames, state, tstate)
+    meta = {
+        'version': _VERSION,
+        'labels': list(labels),
+        'batch': batch, 'window': window, 'net_size': [h, w],
+        'grid': [gh, gw], 'max_tracks': max_tracks,
+        'platforms': list(platforms),
+        'state_treedef': jax.tree_util.tree_structure(
+            _batched_zero_state(model, batch, gh, gw)).__repr__(),
+        'state_leaves': [
+            {'shape': list(z.shape), 'dtype': str(z.dtype)}
+            for z in jax.tree_util.tree_leaves(
+                _batched_zero_state(model, batch, gh, gw))],
+    }
+    blob = exported.serialize()
+    header = json.dumps(meta).encode()
+    return (_MAGIC + struct.pack('<II', _VERSION, len(header))
+            + header + blob)
+
+
+def _batched_zero_state(model, batch: int, gh: int, gw: int):
+    """Zero ConvLSTM carry for `batch` independent streams (f32 — the
+    cross-window carry dtype JointPredictor uses)."""
+    return model.zero_state(batch, gh, gw)
+
+
+def _batched_track_state(batch: int, max_tracks: int) -> TrackState:
+    """One TrackState per stream, stacked on a leading batch axis
+    (the exported program vmaps the per-clip identity scan over it)."""
+    one = init_track_state(max_tracks)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), one)
+
+
+def save_artifact(artifact: bytes, path: str) -> str:
+    with open(path, 'wb') as f:
+        f.write(artifact)
+    return path
+
+
+class ServedJointPredictor:
+    """Thin serving host for an exported artifact: deserialize + call.
+
+    Needs NO model class, flax module, or checkpoint — the weights are
+    constants inside the artifact. Carries per-call streaming state the
+    same way `inference.JointPredictor` does; `reset_state()` between
+    unrelated clips.
+    """
+
+    def __init__(self, artifact: bytes):
+        if artifact[:len(_MAGIC)] != _MAGIC:
+            raise ValueError('not an OTTSERVE artifact')
+        off = len(_MAGIC)
+        version, hlen = struct.unpack_from('<II', artifact, off)
+        if version != _VERSION:
+            raise ValueError(f'artifact version {version}, '
+                             f'expected {_VERSION}')
+        off += 8
+        self.meta = json.loads(artifact[off:off + hlen].decode())
+        self._exported = jax_export.deserialize(artifact[off + hlen:])
+        self.labels = tuple(self.meta['labels'])
+        self.batch = int(self.meta['batch'])
+        self.window = int(self.meta['window'])
+        self.net_h, self.net_w = self.meta['net_size']
+        self.max_tracks = int(self.meta['max_tracks'])
+        self._state = None
+        self._track_state = None
+
+    @classmethod
+    def load(cls, path: str) -> 'ServedJointPredictor':
+        with open(path, 'rb') as f:
+            return cls(f.read())
+
+    def _zero_state(self):
+        """Rebuild the streaming carry from the recorded leaf specs —
+        the treedef is the (c, h) tuple (single-layer head) or the
+        ((c, h), (cs, hs)) pair (deep head); both reconstruct from the
+        leaf count."""
+        leaves = [jnp.zeros(tuple(l['shape']), l['dtype'])
+                  for l in self.meta['state_leaves']]
+        if len(leaves) == 2:
+            return (leaves[0], leaves[1])
+        if len(leaves) == 4:
+            return ((leaves[0], leaves[1]), (leaves[2], leaves[3]))
+        raise ValueError(
+            f'unsupported state tree ({len(leaves)} leaves)')
+
+    def reset_state(self) -> None:
+        self._state = None
+        self._track_state = None
+
+    def predict_window(self, frames) -> List[List[List[dict]]]:
+        """frames: (B, T, H, W, 3) uint8 (or float in [0, 1], converted)
+        -> per clip, per frame: [{'label', 'score', 'box', 'track_id'}].
+
+        Consecutive calls continue the streams (state carried);
+        `reset_state()` starts fresh clips.
+        """
+        x = np.asarray(frames)
+        if x.dtype != np.uint8:
+            x = (np.clip(x, 0.0, 1.0) * 255).astype(np.uint8)
+        if x.shape != (self.batch, self.window,
+                       self.net_h, self.net_w, 3):
+            raise ValueError(
+                f'expected {(self.batch, self.window, self.net_h, self.net_w, 3)}, '
+                f'got {x.shape}')
+        if self._state is None:
+            self._state = self._zero_state()
+        if self._track_state is None:
+            self._track_state = _batched_track_state(
+                self.batch, self.max_tracks)
+        (dets, ids, self._state, self._track_state) = \
+            self._exported.call(jnp.asarray(x), self._state,
+                                self._track_state)
+        boxes, labels, scores, valid = dets
+        out = []
+        for b in range(self.batch):
+            clip = []
+            for t in range(self.window):
+                v = np.asarray(valid[b, t])
+                order = np.argsort(-np.asarray(scores[b, t])[v],
+                                   kind='stable')
+                frame_dets = boxes_to_list(boxes[b, t], labels[b, t],
+                                           scores[b, t], valid[b, t])
+                frame_ids = list(np.asarray(ids[b, t])[v][order])
+                clip.append([
+                    {'label': self.labels[l] if l < len(self.labels)
+                     else str(l),
+                     'score': s, 'box': bx,
+                     'track_id': int(frame_ids[i])}
+                    for i, (l, s, bx) in enumerate(frame_dets)])
+            out.append(clip)
+        return out

@@ -21,7 +21,7 @@ from __future__ import annotations
 import argparse
 import os
 import tempfile
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -591,6 +591,67 @@ def evaluate_tracking(cfg, *, synthetic: bool = False,
 
 
 # --------------------------------------------------------------------------
+# Flow: AOT serving export — the deployment boundary the reference lacks
+# (its predict requires the live Python graph in-process,
+# MultiObjDetTracker.py:295-315). One self-contained artifact: StableHLO
+# clip program with the trained weights baked in (serving.py).
+# --------------------------------------------------------------------------
+def export_serving(cfg, *, out_path: str,
+                   checkpoint_dir: Optional[str] = None,
+                   batch: int = 1, window: Optional[int] = None,
+                   platforms: Optional[Sequence[str]] = None) -> str:
+    """Build the joint model (optionally restoring a checkpoint) and
+    write the exported serving artifact to `out_path`."""
+    import jax
+    import jax.numpy as jnp
+
+    from object_tracking_tpu.models import MultiObjDetTracker
+    from object_tracking_tpu.serving import export_joint, save_artifact
+    from object_tracking_tpu.training import (
+        CheckpointManager, TrainState, make_optimizer)
+
+    labels = cfg.joint.labels
+    size = cfg.detector.image_h
+    model = MultiObjDetTracker(
+        num_classes=len(labels), num_anchors=cfg.detector.num_anchors,
+        convlstm_features=cfg.joint.convlstm_features,
+        width_div=cfg.detector.width_div,
+        dtype=jnp.dtype(cfg.joint.compute_dtype),
+        moe_experts=cfg.joint.moe_experts,
+        moe_hidden=cfg.joint.moe_hidden,
+        convlstm_layers=cfg.joint.convlstm_layers)
+    t = window or cfg.joint.sequence_length
+    variables = model.init(
+        jax.random.PRNGKey(cfg.train.seed),
+        jnp.zeros((1, t, size, size, 3)))
+    if checkpoint_dir:
+        state = TrainState.create(model.apply, variables,
+                                  make_optimizer(1e-4))
+        ckpts = CheckpointManager(checkpoint_dir)
+        state, at = ckpts.restore(state, variables_only=True)
+        ckpts.close()
+        if at:
+            print(f'restored checkpoint step {at}')
+            variables = state.variables
+        else:
+            raise FileNotFoundError(
+                f'no checkpoint under {checkpoint_dir} — refusing to '
+                'export random weights silently')
+    art = export_joint(
+        model, variables, cfg.detector.anchors, labels,
+        batch=batch, window=t, net_size=(size, size),
+        obj_threshold=cfg.detector.obj_threshold,
+        nms_threshold=cfg.detector.nms_threshold,
+        platforms=platforms)
+    save_artifact(art, out_path)
+    plats = list(platforms) if platforms else ['tpu', 'cpu']
+    print(f'wrote serving artifact {out_path} '
+          f'({len(art) / 1e6:.1f} MB, platforms {",".join(plats)}, '
+          f'B={batch} T={t} {size}x{size})')
+    return out_path
+
+
+# --------------------------------------------------------------------------
 # Flow 5: offline dataset converters (the reference ships these as
 # runnable scripts: utility/motd_to_pascal.py:127, utility/tb_to_pascal.py:152)
 # --------------------------------------------------------------------------
@@ -833,6 +894,21 @@ def main(argv=None) -> int:
     pe.add_argument('--checkpoint-dir')
     pe.add_argument('--window', type=int)
 
+    px = sub.add_parser('export', help='AOT-export the joint clip '
+                        'program (trained weights baked in) to one '
+                        'self-contained serving artifact')
+    px.add_argument('--out', required=True, help='artifact output path')
+    px.add_argument('--checkpoint-dir', help='orbax checkpoint to bake '
+                    'in (omitted = freshly initialized weights, for '
+                    'smoke tests only)')
+    px.add_argument('--batch', type=int, default=1,
+                    help='clip streams per call (B=32 measured 2.4x '
+                    'the frames/sec of B=1 — benchmarks/RESULTS.md)')
+    px.add_argument('--window', type=int)
+    px.add_argument('--platforms', default=None,
+                    help='comma list of lowering targets '
+                    '(default tpu,cpu)')
+
     pc = sub.add_parser('convert', help='offline dataset converters '
                         '(MOT17 / VisualTB → PASCAL-VOC XML)')
     pc.add_argument('kind', choices=['mot', 'visualtb'])
@@ -880,6 +956,13 @@ def main(argv=None) -> int:
         evaluate_tracking(cfg, synthetic=args.synthetic,
                           checkpoint_dir=args.checkpoint_dir,
                           window=args.window)
+    elif args.cmd == 'export':
+        export_serving(
+            cfg, out_path=args.out,
+            checkpoint_dir=args.checkpoint_dir, batch=args.batch,
+            window=args.window,
+            platforms=(tuple(args.platforms.split(','))
+                       if args.platforms else None))
     return 0
 
 
