@@ -112,13 +112,15 @@ def mfu_rows(joint_fps: float | None, det_train_ips: float | None,
     return rows
 
 
-def measure(joint_batches=(1,)):
+def measure(joint_batches=(1,), train_batches=(8,)):
     """Pull-fenced re-measurement on the real chip (see bench.py for the
     fencing methodology — block_until_ready lies on this tunnel).
     `joint_batches`: clip-batch sizes to time the joint program at —
     B=1 is reference parity (MultiObjDetTracker.py:97); B>1 is the
     serving lever round 4 left unmeasured (VERDICT r4 #2: batching
-    multiplies the sequential ConvLSTM step's arithmetic intensity)."""
+    multiplies the sequential ConvLSTM step's arithmetic intensity).
+    `train_batches`: detector train-step batch sizes (the reference's
+    detector batch is 32, KerasYOLO.py:52; the recorded row is B=8)."""
     import time
 
     import jax
@@ -172,44 +174,52 @@ def measure(joint_batches=(1,)):
               file=sys.stderr, flush=True)
     joint_fps = joint_fps_by_b[joint_batches[0]]
 
-    # Standalone detector train step, B=8, bf16 activations (the round-3
+    # Standalone detector train step, bf16 activations (the round-3
     # row said "B=8 fp32" — dtype is stated in the output either way).
-    print('building detector train step...', file=sys.stderr, flush=True)
-    b = 8
     det = Darknet19(num_classes=12, num_anchors=5, dtype=jnp.bfloat16)
     det_vars = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     step = make_detector_train_step(YOLOV2_ANCHORS, LossConfig())
-    state = TrainState.create(det.apply, det_vars, make_optimizer(1e-4))
-    y = np.zeros((b, 13, 13, 5, 17), np.float32)
-    y[:, 6, 6, 2] = [6.5, 6.5, 2.0, 2.0, 1.0] + [1.0] + [0.0] * 11
-    tb = np.zeros((b, 1, 1, 1, 50, 4), np.float32)
-    tb[:, 0, 0, 0, 0] = [6.5, 6.5, 2.0, 2.0]
-    batch = {
-        'images': jax.device_put(
-            rng.rand(b, 416, 416, 3).astype(np.float32)),
-        'y_true': jax.device_put(y), 'true_boxes': jax.device_put(tb),
-    }
-    state, metrics = step(state, dict(batch))        # compile
-    float(np.asarray(metrics['loss']))               # fence
-    print('detector train compiled+fenced; timing...', file=sys.stderr,
-          flush=True)
-    # The train step chains through donated state (each step consumes
-    # the previous step's state), so iterations are data-dependent by
-    # construction; fence with a final metric pull.
-    start = time.perf_counter()
-    for _ in range(32):
-        state, metrics = step(state, dict(batch))
-    float(np.asarray(metrics['loss']))
-    est = 32 / (time.perf_counter() - start)
-    iters = max(int(est * 5), 32)
-    start = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, dict(batch))
-    float(np.asarray(metrics['loss']))
-    det_ips = iters * b / (time.perf_counter() - start)
-    print(f'det_train_img_per_s={det_ips:.1f}', file=sys.stderr,
-          flush=True)
-    return joint_fps, det_ips, joint_fps_by_b
+    det_ips_by_b = {}
+    for b in train_batches:
+        print(f'building detector train step B={b}...', file=sys.stderr,
+              flush=True)
+        # fresh copy per batch size: the jitted step DONATES its state,
+        # so the previous loop consumed the arrays inside det_vars
+        vars_b = jax.tree_util.tree_map(jnp.array, det_vars)
+        state = TrainState.create(det.apply, vars_b,
+                                  make_optimizer(1e-4))
+        y = np.zeros((b, 13, 13, 5, 17), np.float32)
+        y[:, 6, 6, 2] = [6.5, 6.5, 2.0, 2.0, 1.0] + [1.0] + [0.0] * 11
+        tb = np.zeros((b, 1, 1, 1, 50, 4), np.float32)
+        tb[:, 0, 0, 0, 0] = [6.5, 6.5, 2.0, 2.0]
+        batch = {
+            'images': jax.device_put(
+                rng.rand(b, 416, 416, 3).astype(np.float32)),
+            'y_true': jax.device_put(y),
+            'true_boxes': jax.device_put(tb),
+        }
+        state, metrics = step(state, dict(batch))        # compile
+        float(np.asarray(metrics['loss']))               # fence
+        print(f'detector train B={b} compiled+fenced; timing...',
+              file=sys.stderr, flush=True)
+        # The train step chains through donated state (each step
+        # consumes the previous step's state), so iterations are
+        # data-dependent by construction; fence with a metric pull.
+        start = time.perf_counter()
+        for _ in range(32):
+            state, metrics = step(state, dict(batch))
+        float(np.asarray(metrics['loss']))
+        est = 32 / (time.perf_counter() - start)
+        iters = max(int(est * 5), 32)
+        start = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, dict(batch))
+        float(np.asarray(metrics['loss']))
+        det_ips_by_b[b] = iters * b / (time.perf_counter() - start)
+        print(f'det_train_img_per_s[B={b}]={det_ips_by_b[b]:.1f}',
+              file=sys.stderr, flush=True)
+    det_ips = det_ips_by_b[train_batches[0]]
+    return joint_fps, det_ips, joint_fps_by_b, det_ips_by_b
 
 
 def main():
@@ -220,6 +230,9 @@ def main():
     p.add_argument('--batches', default='1',
                    help='comma-separated joint clip-batch sizes to time '
                         '(with --measure), e.g. 1,8,16')
+    p.add_argument('--train-batches', default='8',
+                   help='comma-separated detector train-step batch '
+                        'sizes (with --measure), e.g. 8,16,32')
     p.add_argument('--joint-fps', type=float, default=None)
     p.add_argument('--det-train-ips', type=float, default=None)
     a = p.parse_args()
@@ -237,9 +250,12 @@ def main():
 
     joint_fps, det_ips = a.joint_fps, a.det_train_ips
     fps_by_b = {}
+    ips_by_b = {}
     if a.measure:
         batches = tuple(int(x) for x in a.batches.split(','))
-        joint_fps, det_ips, fps_by_b = measure(batches)
+        tbatches = tuple(int(x) for x in a.train_batches.split(','))
+        joint_fps, det_ips, fps_by_b, ips_by_b = measure(batches,
+                                                         tbatches)
     elif joint_fps is None:
         rec = {}
         mpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -256,6 +272,17 @@ def main():
         rows.append({'workload': f'joint inference, clip batch B={b}',
                      'rate_fps': round(fps, 1),
                      'gflops_per_frame': round(fl['joint_gflops'], 2),
+                     'tflops': round(tf, 1),
+                     **{f'mfu_{c}': round(tf / p, 3)
+                        for c, p in PEAKS_TFLOPS.items()}})
+    train_gf = 3.0 * fl['detector_gflops']
+    for b, ips in ips_by_b.items():
+        if b == 8:
+            continue                 # B=8 is the canonical mfu_rows row
+        tf = ips * train_gf / 1e3
+        rows.append({'workload': f'detector train step, batch B={b}',
+                     'rate_fps': round(ips, 1),
+                     'gflops_per_frame': round(train_gf, 2),
                      'tflops': round(tf, 1),
                      **{f'mfu_{c}': round(tf / p, 3)
                         for c, p in PEAKS_TFLOPS.items()}})

@@ -47,29 +47,29 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix='ott_quickstart_')
     print(f'== workdir {work}')
 
-    print('== 1/5 single-object tracking (TinyTracker)')
+    print('== 1/8 single-object tracking (TinyTracker)')
     single_object_tracking(tiny_config(), synthetic=True, epochs=1,
                            workdir=work)
 
-    print('== 2/5 single-object tracking (heatmap head)')
+    print('== 2/8 single-object tracking (heatmap head)')
     cfg = tiny_config()
     cfg.tracker.name = 'TinyHeatmapTracker'
     cfg.tracker.heatmap_size = 8
     single_object_tracking(cfg, synthetic=True, epochs=1, workdir=work)
 
-    print('== 3/5 joint multi-object detection + tracking')
+    print('== 3/8 joint multi-object detection + tracking')
     simult_multi_obj_detection_tracking(tiny_config(), synthetic=True,
                                         epochs=1, workdir=work,
                                         image_size=64)
 
-    print('== 4/5 standalone detector training')
+    print('== 4/8 standalone detector training')
     keras_yolo_obj_detection(tiny_config(), synthetic=True, epochs=1,
                              workdir=work, train=True)
 
-    print('== 5/7 tracking evaluation (CLEAR-MOT)')
+    print('== 5/8 tracking evaluation (CLEAR-MOT)')
     evaluate_tracking(tiny_config(), synthetic=True, window=3)
 
-    print('== 6/7 tracked-video inference (drawn boxes + persistent ids)')
+    print('== 6/8 tracked-video inference (drawn boxes + persistent ids)')
     import os
 
     from object_tracking_tpu.data.synthetic import make_synthetic_dataset
@@ -82,7 +82,7 @@ def main() -> None:
     track_video(cfg, frames_dir=os.path.join(img_dir, 'video_00'),
                 out_dir=os.path.join(work, 'tracked'))
 
-    print('== 7/7 golden fixture: darknet binary -> real detections')
+    print('== 7/8 golden fixture: darknet binary -> real detections')
     fixtures = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), 'tests', 'fixtures')
     if os.path.exists(os.path.join(fixtures, 'yolov2-micro.weights')):
@@ -94,6 +94,24 @@ def main() -> None:
         for scene in ('scene_0.jpg', 'scene_1.jpg'):
             print(' ', scene,
                   det.detect(os.path.join(fixtures, scene)))
+
+    print('== 8/8 AOT serving: export one artifact, serve without '
+          'model code')
+    import numpy as np
+
+    from object_tracking_tpu.serving import ServedJointPredictor
+    from object_tracking_tpu.trainer import export_serving
+    cfg = tiny_config()
+    cfg.joint.labels = ('1', '2')
+    art_path = export_serving(
+        cfg, out_path=os.path.join(work, 'joint.ottserve'),
+        # export for the platform we're on (default is tpu+cpu)
+        platforms=(__import__('jax').devices()[0].platform,))
+    served = ServedJointPredictor.load(art_path)
+    frames = np.random.RandomState(0).randint(
+        0, 256, (1, cfg.joint.sequence_length, 64, 64, 3), np.uint8)
+    out = served.predict_window(frames)
+    print('  served', len(out[0]), 'frames from the artifact')
 
     print('== all flows complete')
 
