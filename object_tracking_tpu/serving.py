@@ -41,7 +41,6 @@ Design notes:
 from __future__ import annotations
 
 import json
-import os
 import struct
 from typing import List, Optional, Sequence, Tuple
 
@@ -141,9 +140,9 @@ def export_joint(model, variables, anchors, labels: Sequence[str],
         nms_threshold=nms_threshold, head=head, bn_mode=bn_mode,
         iou_threshold=iou_threshold, max_age=max_age)
     frames = jax.ShapeDtypeStruct((batch, window, h, w, 3), jnp.uint8)
+    zero_state = _batched_zero_state(model, batch, gh, gw)
     state = jax.tree_util.tree_map(
-        lambda z: jax.ShapeDtypeStruct(z.shape, z.dtype),
-        _batched_zero_state(model, batch, gh, gw))
+        lambda z: jax.ShapeDtypeStruct(z.shape, z.dtype), zero_state)
     tstate = jax.tree_util.tree_map(
         lambda z: jax.ShapeDtypeStruct(z.shape, z.dtype),
         _batched_track_state(batch, max_tracks))
@@ -158,12 +157,11 @@ def export_joint(model, variables, anchors, labels: Sequence[str],
         'batch': batch, 'window': window, 'net_size': [h, w],
         'grid': [gh, gw], 'max_tracks': max_tracks,
         'platforms': list(platforms),
-        'state_treedef': jax.tree_util.tree_structure(
-            _batched_zero_state(model, batch, gh, gw)).__repr__(),
+        'state_treedef': repr(
+            jax.tree_util.tree_structure(zero_state)),
         'state_leaves': [
             {'shape': list(z.shape), 'dtype': str(z.dtype)}
-            for z in jax.tree_util.tree_leaves(
-                _batched_zero_state(model, batch, gh, gw))],
+            for z in jax.tree_util.tree_leaves(zero_state)],
     }
     blob = exported.serialize()
     header = json.dumps(meta).encode()
