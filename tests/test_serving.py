@@ -131,6 +131,30 @@ def test_export_missing_checkpoint_refuses(tmp_path):
                        platforms=('cpu',))
 
 
+def test_deep_head_state_roundtrip(tmp_path):
+    """convlstm_layers=2 carries the 4-leaf ((c,h),(cs,hs)) streaming
+    state — the other branch of ServedJointPredictor._zero_state."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    model = MultiObjDetTracker(num_classes=3, num_anchors=2,
+                               convlstm_features=8, width_div=8,
+                               convlstm_layers=2)
+    x = jnp.asarray(rng.rand(1, 4, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    art = export_joint(model, variables, YOLOV2_ANCHORS[:4],
+                       labels=('a', 'b', 'c'), batch=1, window=4,
+                       net_size=(64, 64), obj_threshold=0.01,
+                       platforms=('cpu',))
+    served = ServedJointPredictor(art)
+    assert len(served.meta['state_leaves']) == 4
+    frames = rng.randint(0, 256, (1, 4, 64, 64, 3), np.uint8)
+    first = served.predict_window(frames)
+    served.predict_window(frames)
+    served.reset_state()
+    assert repr(served.predict_window(frames)) == repr(first)
+
+
 def test_batched_streams_export(artifact_setup):
     """B=2 export: two independent streams in one program, identities
     assigned per stream."""
